@@ -1,0 +1,158 @@
+"""Linearized-dynamics utilities: rollouts, condensation, and JAX-native linearization.
+
+All functions here operate on a SINGLE problem with arrays shaped ``(N, ...)``;
+particle (M) and scenario-batch axes are added by ``jax.vmap`` at call sites.
+
+Semantics parity (reference):
+- the affine rollout matches ``PMPC.jl/src/types.jl:161-179`` (``rollout!``):
+  ``x_j = f_j + fx_j (x_{j-1} - xlin_{j-1}) + fu_j (u_j - U_prev_j)`` with
+  ``xlin = [x0, X_prev[:-1]]`` and the ``fx_0`` term vanishing at ``j=0``,
+- the condensed dense dynamics map ``X = Ft @ vec(U - U_prev) + ft`` matches the
+  structure of ``pmpc/experimental/jax/dynamics.py:81-114``
+  (``dynamics_linear_matrix``) built as an O(N) scan,
+- feedback rollout matches ``types.jl:181-201``.
+
+TPU notes: the condensation scan carries a full ``(xdim, N*udim)`` row block so
+each step is a small matmul; the result feeds big batched matmuls downstream
+(MXU work), never sparse scatter/gather.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def rollout(x0, f, fx, fu, X_prev, U_prev, U):
+    """Roll out the affine (linearized) dynamics for controls ``U``.
+
+    Args:
+        x0: (xdim,) initial state.
+        f: (N, xdim) dynamics value at the linearization point.
+        fx: (N, xdim, xdim) state Jacobians.
+        fu: (N, xdim, udim) control Jacobians.
+        X_prev: (N, xdim) linearization state trajectory (states AFTER each step).
+        U_prev: (N, udim) linearization controls.
+        U: (N, udim) controls to roll out.
+
+    Returns:
+        X: (N, xdim) states after each step (not including x0).
+    """
+    xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
+    du = U - U_prev
+
+    def step(x, inp):
+        f_j, fx_j, fu_j, xlin_j, du_j = inp
+        x_next = f_j + fx_j @ (x - xlin_j) + fu_j @ du_j
+        return x_next, x_next
+
+    _, X = lax.scan(step, x0, (f, fx, fu, xlin, du))
+    return X
+
+
+def rollout_feedback(x0, f, fx, fu, X_prev, U_prev, L, l):
+    """Roll out affine state-feedback ``u_j = l_j + L_j x_{j-1}`` (x_{-1} = x0).
+
+    Matches ``PMPC.jl/src/types.jl:181-201``. Returns (X, U)."""
+    xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
+
+    def step(x, inp):
+        f_j, fx_j, fu_j, xlin_j, up_j, L_j, l_j = inp
+        u_j = l_j + L_j @ x
+        x_next = f_j + fx_j @ (x - xlin_j) + fu_j @ (u_j - up_j)
+        return x_next, (x_next, u_j)
+
+    _, (X, U) = lax.scan(step, x0, (f, fx, fu, xlin, U_prev, L, l))
+    return X, U
+
+
+def condense(x0, f, fx, fu, X_prev, U_prev) -> Tuple[jax.Array, jax.Array]:
+    """Build the dense condensed dynamics map ``vec(X) = Ft @ vec(U - U_prev) + ft``.
+
+    ``Ft`` is block lower-triangular with blocks
+    ``Ft[j, l] = fx_j fx_{j-1} ... fx_{l+1} fu_l`` for ``l <= j``; ``ft`` is the
+    rollout at ``U = U_prev``. Built with an O(N) scan whose carry is the full
+    ``(xdim, N*udim)`` sensitivity row (each step: one small matmul + one
+    dynamic-slice insert), so XLA sees only dense matmul-shaped work.
+
+    Returns:
+        Ft: (N*xdim, N*udim)
+        ft: (N*xdim,)
+    """
+    N, xdim = f.shape
+    udim = fu.shape[-1]
+    xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
+
+    def step(carry, inp):
+        row_prev, x_prev = carry
+        j, f_j, fx_j, fu_j, xlin_j = inp
+        # sensitivity row: d x_j / d vec(U) = fx_j @ row_{j-1} + e_j (x) fu_j
+        row = fx_j @ row_prev
+        row = lax.dynamic_update_slice(row, fu_j, (0, j * udim))
+        x_next = f_j + fx_j @ (x_prev - xlin_j)
+        return (row, x_next), (row, x_next)
+
+    init = (jnp.zeros((xdim, N * udim), dtype=f.dtype), x0)
+    js = jnp.arange(N)
+    _, (rows, xs) = lax.scan(step, init, (js, f, fx, fu, xlin))
+    Ft = rows.reshape(N * xdim, N * udim)
+    ft = xs.reshape(N * xdim)
+    return Ft, ft
+
+
+def linearize(dynamics: Callable, X: jax.Array, U: jax.Array):
+    """Compute ``(f, fx, fu)`` for a JAX-traceable single-step dynamics ``f(x, u)``.
+
+    This is the JAX-native dynamics protocol replacing the reference's arbitrary
+    Python ``f_fx_fu_fn`` callback (e.g. torch autodiff in
+    ``tests/dubins_car.py:7-45``): per-step Jacobians via ``jacfwd`` under vmap.
+
+    Args:
+        dynamics: function (x: (xdim,), u: (udim,)) -> (xdim,) next state.
+        X: (..., N, xdim) states entering each step.
+        U: (..., N, udim) controls.
+
+    Returns:
+        f: (..., N, xdim), fx: (..., N, xdim, xdim), fu: (..., N, xdim, udim)
+    """
+
+    def single(x, u):
+        return (
+            dynamics(x, u),
+            jax.jacfwd(dynamics, argnums=0)(x, u),
+            jax.jacfwd(dynamics, argnums=1)(x, u),
+        )
+
+    fn = single
+    for _ in range(X.ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(X, U)
+
+
+def make_f_fx_fu_fn(dynamics: Callable) -> Callable:
+    """Wrap a JAX single-step dynamics into the reference-style ``f_fx_fu_fn(X, U)``."""
+
+    def f_fx_fu_fn(X, U):
+        return linearize(dynamics, jnp.asarray(X), jnp.asarray(U))
+
+    f_fx_fu_fn.__wrapped_dynamics__ = dynamics
+    return f_fx_fu_fn
+
+
+def dynamics_violation(x0, f, fx, fu, X_prev, U_prev, X, U):
+    """Per-step linearized dynamics violation norms; parity with
+    ``PMPC.jl/src/types.jl:348-364``. Returns (total, per-step)."""
+    pred = rollout_residual(x0, f, fx, fu, X_prev, U_prev, X, U)
+    viols = jnp.linalg.norm(pred, axis=-1)
+    return jnp.sum(viols), viols
+
+
+def rollout_residual(x0, f, fx, fu, X_prev, U_prev, X, U):
+    """``x_j - (f_j + fx_j (x_{j-1} - xlin_{j-1}) + fu_j (u_j - U_prev_j))`` for all j."""
+    xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
+    xm1 = jnp.concatenate([x0[None, :], X[:-1]], axis=0)
+    pred = f + jnp.einsum("nij,nj->ni", fx, xm1 - xlin) + jnp.einsum("nij,nj->ni", fu, U - U_prev)
+    return X - pred

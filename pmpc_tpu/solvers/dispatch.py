@@ -1,0 +1,93 @@
+"""Affine-solve method dispatch: route a linearized consensus MPC instance to the
+right on-device solver.
+
+Replaces the reference's backend selection (``pmpc/static_backend.py:242-253``):
+- no inequality constraints -> direct arrow-structured solve (`reduced.solve_eq`),
+- box/extra constraints, exact -> batched primal-dual IPM (`ipm`),
+- ``smooth_cstr`` in {"logbarrier", "squareplus"} -> smooth Newton path
+  (`barrier`), parity with ``PMPC.jl/src/cone_utils.jl:173-232``.
+
+The top-level entry `affine_solve_np` takes numpy arrays (already canonicalized
+by ``pmpc_tpu.scp.aff_solve``) and returns numpy; the jitted cores cache per
+shape signature.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .reduced import assemble_condensed, solve_eq, recover_XU
+
+
+def _coerce_rollout(X, U):
+    """Consensus controls are shared variables in our formulation and the
+    condensed dynamics are satisfied by construction, so the reference's
+    ``coerce`` re-average + re-rollout (``PMPC.jl/src/main.jl:338-344``) is an
+    exact no-op here; kept for API parity."""
+    return X, U
+
+
+def affine_solve_np(
+    x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
+    reg_x, reg_u, slew_reg, slew_reg0, slew_um1,
+    u_l, u_u, x_l, x_u,
+    Nc: int,
+    settings: Optional[Dict[str, Any]] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
+    """Solve one joint M-particle affine problem; returns (X (M,N,xdim), U, data)."""
+    settings = settings or {}
+    N = f.shape[1]
+    M = f.shape[0]
+
+    weights = settings.get("weights", None)
+    weights = jnp.asarray(weights, dtype=f.dtype) if weights is not None else None
+
+    smooth_cstr = settings.get("smooth_cstr", None)
+    smooth_alpha = settings.get("smooth_alpha", None)
+    if smooth_alpha is not None and (
+        isinstance(smooth_alpha, float) and np.isnan(smooth_alpha)
+    ):
+        smooth_cstr, smooth_alpha = "", None  # NaN sentinel: smoothing NOT requested
+    if smooth_alpha is not None and smooth_cstr is None:
+        smooth_cstr = "logbarrier"
+
+    extra_cstrs = settings.get("extra_cstrs", None)
+    has_ineq = any(z is not None for z in (u_l, u_u, x_l, x_u)) or bool(extra_cstrs)
+
+    base_args = (
+        jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
+        jnp.asarray(X_prev), jnp.asarray(U_prev), jnp.asarray(Q), jnp.asarray(R),
+        jnp.asarray(X_ref), jnp.asarray(U_ref),
+    )
+    reg_args = (
+        jnp.asarray(reg_x), jnp.asarray(reg_u),
+        jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
+    )
+
+    if not has_ineq:
+        cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)
+        uc, uf = solve_eq(cqp)
+        X, U = recover_XU(cqp, uc, uf, N=N)
+        data: Dict[str, Any] = dict(solver_state=settings.get("solver_state"))
+        return np.asarray(X), np.asarray(U), data
+
+    if smooth_cstr in ("logbarrier", "squareplus"):
+        from .barrier import barrier_solve_np
+
+        return barrier_solve_np(
+            base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
+            method=smooth_cstr,
+            alpha=float(smooth_alpha if smooth_alpha is not None else 1.0),
+            beta=float(settings.get("smooth_beta", 1.0)),
+            settings=settings,
+        )
+
+    from .ipm import ipm_solve_np
+
+    return ipm_solve_np(
+        base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
+        settings=settings,
+    )

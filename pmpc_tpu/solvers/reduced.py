@@ -1,0 +1,237 @@
+"""Condensed consensus QP: assembly and the equality-only (unconstrained) solve.
+
+This is the TPU-native replacement for the reference's sparse canonical-form
+assembly (``PMPC.jl/src/lqp_utils.jl:2-424``). Instead of one big sparse matrix
+handed to a CPU solver, states are eliminated through the condensed dynamics map
+``vec(X_i) = Ft_i @ vec(U_i - U_prev_i) + ft_i`` so the joint decision variable
+is only the controls with the consensus layout
+
+    z = [ u_cons (Nc*udim) ; u_free_1 ((N-Nc)*udim) ; ... ; u_free_M ]
+
+(same variable-layout contract as ``lqp_utils.jl:2-216`` / ``README.md:232-239``).
+The Hessian then has ARROW structure: a shared consensus block coupled to M
+independent per-particle free blocks — solved by batched dense Cholesky of the
+per-particle blocks plus a Schur complement on the consensus block. Everything
+is matmul-shaped and vmaps over particles and scenario batches.
+
+Cost semantics match ``lqp_repr_Pq`` (``lqp_utils.jl:2-216``): per particle i,
+stage j,
+
+    0.5 (x-X_ref)'Q(x-X_ref) + 0.5 (u-U_ref)'R(u-U_ref)
+  + 0.5 reg_x ||x - X_prev||^2 + 0.5 reg_u ||u - U_prev||^2
+  + 0.5 slew_reg sum_j ||u_{j+1}-u_j||^2 + 0.5 slew_reg0 ||u_0 - slew_um1||^2
+
+summed over particles, with the first Nc controls shared.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..dynamics import condense
+from ..ops.linalg import cholesky_factor, cholesky_solve
+
+
+class CondensedQP(NamedTuple):
+    """A single joint (M-particle) condensed QP. Shapes: nc=Nc*udim, nf=(N-Nc)*udim,
+    NU=N*udim, NX=N*xdim."""
+
+    Hcc: jax.Array  # (nc, nc)   consensus block (summed over particles)
+    Hcf: jax.Array  # (M, nc, nf) consensus-to-free coupling
+    Hff: jax.Array  # (M, nf, nf) per-particle free blocks
+    qc: jax.Array  # (nc,)
+    qf: jax.Array  # (M, nf)
+    Ft: jax.Array  # (M, NX, NU) condensed dynamics sensitivity
+    g: jax.Array  # (M, NX)     x = Ft @ w + g  (w = vec(U))
+    w_prev: jax.Array  # (M, NU)
+
+    @property
+    def M(self) -> int:
+        return self.Hff.shape[0]
+
+    @property
+    def nc(self) -> int:
+        return self.Hcc.shape[-1]
+
+    @property
+    def nf(self) -> int:
+        return self.Hff.shape[-1]
+
+
+def _slew_T(N: int, dtype) -> jnp.ndarray:
+    """Time-coupling matrix of sum_{j<N-1} ||u_{j+1} - u_j||^2 (without udim kron)."""
+    T = 2.0 * jnp.eye(N, dtype=dtype)
+    off = jnp.eye(N, k=1, dtype=dtype) + jnp.eye(N, k=-1, dtype=dtype)
+    T = T - off
+    T = T.at[0, 0].add(-1.0).at[N - 1, N - 1].add(-1.0)
+    return T
+
+
+def _block_diag(Bs: jnp.ndarray) -> jnp.ndarray:
+    """(N, d, d) -> (N*d, N*d) block-diagonal embedding."""
+    N, d = Bs.shape[0], Bs.shape[-1]
+    out = jnp.zeros((N, d, N, d), dtype=Bs.dtype)
+    idx = jnp.arange(N)
+    out = out.at[idx, :, idx, :].set(Bs)
+    return out.reshape(N * d, N * d)
+
+
+def _bdiag_mm(Qs: jnp.ndarray, Ft: jnp.ndarray) -> jnp.ndarray:
+    """blockdiag(Qs) @ Ft without materializing the block diagonal.
+
+    Qs: (N, d, d); Ft: (N*d, K) -> (N*d, K)."""
+    N, d = Qs.shape[0], Qs.shape[-1]
+    return jnp.einsum("nij,njk->nik", Qs, Ft.reshape(N, d, -1)).reshape(N * d, -1)
+
+
+def particle_H_q(
+    x0,
+    f,
+    fx,
+    fu,
+    X_prev,
+    U_prev,
+    Q,
+    R,
+    X_ref,
+    U_ref,
+    reg_x,
+    reg_u,
+    slew_reg,
+    slew_reg0,
+    slew_um1,
+):
+    """Reduced Hessian/linear term of ONE particle over w = vec(U) (NU = N*udim).
+
+    Returns (H (NU,NU), q (NU,), Ft, g) with x = Ft @ w + g."""
+    N, xdim = f.shape
+    udim = fu.shape[-1]
+    dtype = f.dtype
+    Ft, ft = condense(x0, f, fx, fu, X_prev, U_prev)
+    w_prev = U_prev.reshape(-1)
+    g = ft - Ft @ w_prev
+
+    eye_x = jnp.eye(xdim, dtype=dtype)
+    eye_u = jnp.eye(udim, dtype=dtype)
+    Qt = Q + reg_x * eye_x  # (N, xdim, xdim)
+    Rt = R + reg_u * eye_u
+    xt = (jnp.einsum("nij,nj->ni", Q, X_ref) + reg_x * X_prev).reshape(-1)  # (NX,)
+    ut = (jnp.einsum("nij,nj->ni", R, U_ref) + reg_u * U_prev).reshape(-1)  # (NU,)
+
+    QtFt = _bdiag_mm(Qt, Ft)  # (NX, NU)
+    H = Ft.T @ QtFt + _block_diag(Rt)
+    S = slew_reg * jnp.kron(_slew_T(N, dtype), eye_u)
+    H = H + S
+    H = H.at[:udim, :udim].add(slew_reg0 * eye_u)
+
+    q = Ft.T @ (_bdiag_mm(Qt, g[:, None])[:, 0] - xt) - ut
+    q = q.at[:udim].add(-slew_reg0 * slew_um1)
+    return H, q, Ft, g
+
+
+@partial(jax.jit, static_argnames=("Nc",))
+def assemble_condensed(
+    x0,
+    f,
+    fx,
+    fu,
+    X_prev,
+    U_prev,
+    Q,
+    R,
+    X_ref,
+    U_ref,
+    reg_x,
+    reg_u,
+    slew_reg,
+    slew_reg0,
+    slew_um1,
+    Nc: int,
+    weights: Optional[jax.Array] = None,
+) -> CondensedQP:
+    """Assemble the joint M-particle condensed QP with consensus horizon ``Nc``.
+
+    Array args are batched over the leading particle axis M (x0: (M,xdim),
+    f: (M,N,xdim), ..., reg_x/reg_u/slew_reg/slew_reg0: (M,), slew_um1: (M,udim)).
+    ``weights`` (optional, (M,)) rescales per-particle costs like
+    ``PMPC.jl/src/main.jl:96-112`` (normalized to sum to 1).
+    """
+    M, N = f.shape[0], f.shape[1]
+    udim = fu.shape[-1]
+    if weights is not None:
+        w = weights / jnp.sum(weights)
+        wq = w[:, None, None, None]
+        Q, R = Q * wq, R * wq
+        reg_x, reg_u = reg_x * w, reg_u * w
+        slew_reg, slew_reg0 = slew_reg * w, slew_reg0 * w
+        # note: the reference also scales slew_um1 (main.jl:107) which changes the
+        # slew target; we scale only the weight (slew_reg0) and keep the target,
+        # since scaling the regularization target is reference behavior we treat
+        # as a bug (it moves the anchor point, not just the weight).
+        # For exact parity pass pre-scaled inputs.
+
+    H, q, Ft, g = jax.vmap(particle_H_q)(
+        x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
+        reg_x, reg_u, slew_reg, slew_reg0, slew_um1,
+    )
+    nc = Nc * udim
+    Hcc = jnp.sum(H[:, :nc, :nc], axis=0)
+    Hcf = H[:, :nc, nc:]
+    Hff = H[:, nc:, nc:]
+    qc = jnp.sum(q[:, :nc], axis=0)
+    qf = q[:, nc:]
+    w_prev = U_prev.reshape(M, -1)
+    return CondensedQP(Hcc, Hcf, Hff, qc, qf, Ft, g, w_prev)
+
+
+def solve_arrow(Hcc, Hcf, Hff, qc, qf, jitter: float = 0.0):
+    """Solve the arrow-structured SPD system
+
+        [ Hcc  Hcf_1 ... Hcf_M ] [uc  ]   [ -qc  ]
+        [ Hcf_1'  Hff_1        ] [uf_1] = [ -qf_1]
+        [  ...        ...      ] [ ...]   [  ... ]
+
+    via batched per-particle Cholesky + Schur complement on the consensus block.
+    Returns (uc (nc,), uf (M, nf)).
+    """
+    nc, nf = Hcc.shape[-1], Hff.shape[-1]
+    if nf == 0:
+        uc = cholesky_solve(cholesky_factor(Hcc, jitter=jitter), -qc) if nc > 0 else qc
+        return uc, qf
+    L = cholesky_factor(Hff, jitter=jitter)  # (M, nf, nf)
+    if nc == 0:
+        uf = cholesky_solve(L, -qf)
+        return qc, uf
+    # W_i = Hff_i^{-1} Hcf_i'   (M, nf, nc)
+    W = cholesky_solve(L, jnp.swapaxes(Hcf, -1, -2))
+    y = cholesky_solve(L, qf)  # (M, nf)
+    S = Hcc - jnp.einsum("mij,mjk->ik", Hcf, W)
+    rhs = -qc + jnp.einsum("mij,mj->i", Hcf, y)
+    uc = cholesky_solve(cholesky_factor(S, jitter=jitter), rhs)
+    uf = -y - jnp.einsum("mij,j->mi", W, uc)
+    return uc, uf
+
+
+@jax.jit
+def solve_eq(cqp: CondensedQP):
+    """Solve the unconstrained condensed QP. Returns (uc, uf)."""
+    return solve_arrow(cqp.Hcc, cqp.Hcf, cqp.Hff, cqp.qc, cqp.qf)
+
+
+def z_to_w(uc: jax.Array, uf: jax.Array, M: int) -> jax.Array:
+    """Per-particle stacked control vectors w_i = [uc; uf_i], shape (M, NU)."""
+    return jnp.concatenate([jnp.broadcast_to(uc, (M,) + uc.shape), uf], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("N",))
+def recover_XU(cqp: CondensedQP, uc: jax.Array, uf: jax.Array, N: int):
+    """Recover (X (M,N,xdim), U (M,N,udim)) from the consensus solution."""
+    M = cqp.M
+    w = z_to_w(uc, uf, M)  # (M, NU)
+    x = jnp.einsum("mij,mj->mi", cqp.Ft, w) + cqp.g  # (M, NX)
+    xdim, udim = x.shape[-1] // N, w.shape[-1] // N
+    return x.reshape(M, N, xdim), w.reshape(M, N, udim)
