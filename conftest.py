@@ -31,6 +31,9 @@ def pytest_configure(config):
     env["JAX_PLATFORMS"] = "cpu"
     env["PMPC_TPU_TESTS_REEXEC"] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # stop sitecustomize registering axon
+    # the persistent compile cache may hold executables AOT-compiled for the
+    # axon terminal's machine type; don't load those into the test process
+    env["PMPC_TPU_NO_CACHE"] = "1"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -11,6 +11,34 @@ Public API parity with ``pmpc/__init__.py``: ``solve``, ``scp_solve``,
 ``solve_problems``, and the ``remote`` farm module.
 """
 
+def _setup_compilation_cache():
+    """Best-effort persistent XLA compilation cache (AOT-parity: stands in for
+    the reference's PackageCompiler sysimage, ``build_pmpc_lib.jl:42-49``).
+    First compiles through the TPU toolchain cost tens of seconds; cached
+    reloads take milliseconds."""
+    import os
+
+    import jax
+
+    if os.environ.get("PMPC_TPU_NO_CACHE") == "1":
+        return
+    try:
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = os.environ.get(
+            "PMPC_TPU_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache", "pmpc_tpu", "jax_cache"),
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_setup_compilation_cache()
+
 from .scp import (  # noqa: F401
     aff_solve,
     scp_solve,

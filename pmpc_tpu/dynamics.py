@@ -135,8 +135,12 @@ def linearize(dynamics: Callable, X: jax.Array, U: jax.Array):
 def make_f_fx_fu_fn(dynamics: Callable) -> Callable:
     """Wrap a JAX single-step dynamics into the reference-style ``f_fx_fu_fn(X, U)``."""
 
+    @jax.jit
+    def _lin(X, U):
+        return linearize(dynamics, X, U)
+
     def f_fx_fu_fn(X, U):
-        return linearize(dynamics, jnp.asarray(X), jnp.asarray(U))
+        return _lin(jnp.asarray(X), jnp.asarray(U))
 
     f_fx_fu_fn.__wrapped_dynamics__ = dynamics
     return f_fx_fu_fn

@@ -1,0 +1,205 @@
+"""Fully on-device SCP: the whole linearize->solve->reroll loop under one jit.
+
+This is the throughput path that replaces the reference's host-driven loop
+(``pmpc/scp_mpc.py:337-428`` calls a Python/torch callback and a CPU solver
+every iteration; its experimental GPU clone ``pmpc/experimental/jax_solver.py``
+still runs the outer loop in Python). Here the SCP iteration is a
+``lax.scan`` body: dynamics linearization (JAX dynamics protocol), condensed
+consensus assembly, arrow/IPM solve, residual bookkeeping — one XLA program,
+no host round-trips, vmappable over a scenario batch and shardable over a
+device mesh.
+
+Usage:
+    solver = build_scp_solver(dynamics, N=30, xdim=4, udim=2, M=32, Nc=5,
+                              max_it=12, has_u_bounds=True)
+    X, U, info = solver(prob)          # prob: SCPData of (M, ...) arrays
+    batched = jax.vmap(solver)         # (B, M, ...) scenario batch
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .dynamics import linearize
+from .solvers.ipm import BoxBounds, ipm_core
+from .solvers.reduced import assemble_condensed, recover_XU, solve_eq
+from .utils import with_matmul_precision
+
+
+class SCPData(NamedTuple):
+    """One joint M-particle SCP problem instance (all arrays, leading M axis)."""
+
+    x0: jax.Array  # (M, xdim)
+    Q: jax.Array  # (M, N, xdim, xdim)
+    R: jax.Array  # (M, N, udim, udim)
+    X_ref: jax.Array  # (M, N, xdim)
+    U_ref: jax.Array  # (M, N, udim)
+    X_prev: jax.Array  # (M, N, xdim)
+    U_prev: jax.Array  # (M, N, udim)
+    reg_x: jax.Array  # (M,)
+    reg_u: jax.Array  # (M,)
+    slew_reg: jax.Array  # (M,)
+    slew_reg0: jax.Array  # (M,)
+    slew_um1: jax.Array  # (M, udim)
+    u_l: jax.Array  # (M, N, udim)  (+-inf where absent)
+    u_u: jax.Array  # (M, N, udim)
+    x_l: jax.Array  # (M, N, xdim)
+    x_u: jax.Array  # (M, N, xdim)
+    params: Any = None  # optional per-particle dynamics params pytree
+
+
+def make_scp_data(
+    x0, Q, R,
+    X_ref=None, U_ref=None, X_prev=None, U_prev=None,
+    reg_x=1.0, reg_u=1e-2, slew_reg=0.0, slew_reg0=0.0, slew_um1=None,
+    u_l=None, u_u=None, x_l=None, x_u=None, params=None, dtype=None,
+) -> SCPData:
+    """Convenience constructor with reference-compatible defaults."""
+    x0 = jnp.asarray(x0, dtype=dtype)
+    Q, R = jnp.asarray(Q, dtype=dtype), jnp.asarray(R, dtype=dtype)
+    M, N, xdim = Q.shape[:3]
+    udim = R.shape[-1]
+    dt = Q.dtype
+
+    def arr(v, shape, fill=0.0):
+        if v is None:
+            return jnp.full(shape, fill, dtype=dt)
+        return jnp.broadcast_to(jnp.asarray(v, dtype=dt), shape)
+
+    X_ref = arr(X_ref, (M, N, xdim))
+    U_ref = arr(U_ref, (M, N, udim))
+    return SCPData(
+        x0=x0,
+        Q=Q, R=R, X_ref=X_ref, U_ref=U_ref,
+        X_prev=arr(X_prev, (M, N, xdim)) if X_prev is not None else X_ref,
+        U_prev=arr(U_prev, (M, N, udim)) if U_prev is not None else U_ref,
+        reg_x=arr(reg_x, (M,)), reg_u=arr(reg_u, (M,)),
+        slew_reg=arr(slew_reg, (M,)), slew_reg0=arr(slew_reg0, (M,)),
+        slew_um1=arr(slew_um1, (M, udim)),
+        u_l=arr(u_l, (M, N, udim), -jnp.inf), u_u=arr(u_u, (M, N, udim), jnp.inf),
+        x_l=arr(x_l, (M, N, xdim), -jnp.inf), x_u=arr(x_u, (M, N, xdim), jnp.inf),
+        params=params,
+    )
+
+
+def build_scp_solver(
+    dynamics: Callable,
+    N: int,
+    xdim: int,
+    udim: int,
+    M: int,
+    Nc: int = -1,
+    max_it: int = 10,
+    res_tol: float = 1e-5,
+    has_u_bounds: bool = False,
+    has_x_bounds: bool = False,
+    ipm_iters: int = 20,
+    ipm_tol_exp: Optional[int] = None,
+    mu_target: float = 0.0,
+    kappa: Optional[float] = None,
+    lin_cost_fn: Optional[Callable] = None,
+    jit: bool = True,
+) -> Callable:
+    """Build a jitted end-to-end SCP solver for fixed problem dimensions.
+
+    Args:
+        dynamics: JAX step fn ``f(x, u)`` or ``f(x, u, p)`` when ``SCPData.params``
+            is provided (p is the per-particle leaf, vmapped over M).
+        Nc: consensus horizon; -1 means full consensus (reference default,
+            ``main.jl:127``).
+        has_u_bounds / has_x_bounds: static switches; when False the bound
+            arrays in SCPData are ignored and the direct arrow solve is used
+            when both are False.
+        lin_cost_fn: optional JAX fn (X_prev, U_prev, data) -> (cx, cu) for
+            nonconvex cost linearization (parity with ``scp_mpc.py:171-185``).
+
+    Returns:
+        solver(data: SCPData) -> (X (M,N+1,xdim), U (M,N,udim), info dict)
+    """
+    Nc = Nc if Nc >= 0 else N
+    has_bounds = has_u_bounds or has_x_bounds
+
+    def linearize_particles(data: SCPData, X_prev, U_prev):
+        X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)
+        if data.params is None:
+            return linearize(dynamics, X_, U_prev)
+
+        def one(x0_, u_, p_):
+            return linearize(lambda x, u: dynamics(x, u, p_), x0_, u_)
+
+        return jax.vmap(one)(X_, U_prev, data.params)
+
+    def iteration(data: SCPData, carry, _):
+        X_prev, U_prev, it, done, resid = carry
+        f, fx, fu = linearize_particles(data, X_prev, U_prev)
+
+        X_ref, U_ref = data.X_ref, data.U_ref
+        if lin_cost_fn is not None:
+            cx, cu = lin_cost_fn(X_prev, U_prev, data)
+            if cx is not None:
+                X_ref = X_ref - jnp.linalg.solve(data.Q, cx[..., None])[..., 0]
+            if cu is not None:
+                U_ref = U_ref - jnp.linalg.solve(data.R, cu[..., None])[..., 0]
+
+        cqp = assemble_condensed(
+            data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
+            data.reg_x, data.reg_u, data.slew_reg, data.slew_reg0, data.slew_um1,
+            Nc=Nc,
+        )
+        if has_bounds:
+            nc = Nc * udim
+            dt = cqp.qf.dtype
+            ul = data.u_l.reshape(M, N * udim)
+            uu = data.u_u.reshape(M, N * udim)
+            bounds = BoxBounds(
+                lo_c=ul[0, :nc], hi_c=uu[0, :nc],
+                lo_f=ul[:, nc:], hi_f=uu[:, nc:],
+                lo_x=data.x_l.reshape(M, N * xdim),
+                hi_x=data.x_u.reshape(M, N * xdim),
+            )
+            dflt_tol = -8 if dt == jnp.float64 else -6
+            dflt_kappa = 0.0 if dt == jnp.float64 else 1e-7
+            uc, uf, stats = ipm_core(
+                cqp, bounds, has_u=has_u_bounds, has_x=has_x_bounds,
+                iters=ipm_iters,
+                tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
+                kappa=kappa if kappa is not None else dflt_kappa,
+                mu_target=mu_target,
+            )
+        else:
+            uc, uf = solve_eq(cqp)
+        X, U = recover_XU(cqp, uc, uf, N=N)
+
+        dX, dU = X - X_prev, U - U_prev
+        new_resid = jnp.maximum(
+            jnp.max(jnp.linalg.norm(dX, axis=-1)), jnp.max(jnp.linalg.norm(dU, axis=-1))
+        )
+        now_done = new_resid < res_tol
+
+        X_out = jnp.where(done, X_prev, X)
+        U_out = jnp.where(done, U_prev, U)
+        resid_out = jnp.where(done, resid, new_resid)
+        it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
+        return (X_out, U_out, it_out, done | now_done, resid_out), None
+
+    @with_matmul_precision("highest")
+    def solver(data: SCPData):
+        carry0 = (
+            data.X_prev, data.U_prev,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(jnp.inf, data.Q.dtype),
+        )
+        (X, U, it, done, resid), _ = lax.scan(
+            partial(iteration, data), carry0, None, length=max_it
+        )
+        X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
+        info = dict(iters=it, resid=resid, converged=resid < res_tol)
+        return X_traj, U, info
+
+    return jax.jit(solver) if jit else solver

@@ -1,0 +1,199 @@
+"""Smooth-constraint path: damped Newton over the condensed consensus problem.
+
+Parity with the reference's constraint smoothing
+(``PMPC.jl/src/cone_utils.jl:173-232`` / ``main.jl:242-290``): each box row
+``a'z <= b`` is replaced by a smooth penalty of the violation ``y = a'z - b``,
+
+- ``logbarrier``: phi(y) = -(1/alpha) log(-alpha y)       (domain y < 0),
+  the exp-cone reformulation the reference hands to ECOS/Mosek — and exactly
+  the smoothed objective of the experimental GPU path
+  (``pmpc/experimental/solver_definitions.py:45-86``),
+- ``squareplus``: phi(y) = (beta/2) (y + sqrt(y^2 + 1/alpha^2)),
+  the SOC reformulation at ``cone_utils.jl:222-228``.
+
+The Newton matrix is ``H + G' diag(phi''(y)) G`` which keeps the arrow
+structure (`box_weighted_K`), so each Newton step costs the same batched
+factorization as an IPM iteration. A backtracking linesearch on the objective
+(+inf outside the logbarrier domain) keeps iterates strictly feasible; the
+start point is ``U_prev`` like the reference GPU solver.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..utils import with_matmul_precision
+from .ipm import BoxBounds, _layout_bounds, box_weighted_K
+from .reduced import CondensedQP, arrow_apply, arrow_factor, assemble_condensed, recover_XU
+
+
+def _phi(method: str, y, alpha, beta):
+    """Penalty value/derivative/curvature of a violation y (elementwise)."""
+    if method == "logbarrier":
+        val = jnp.where(y < 0, -jnp.log(jnp.maximum(-alpha * y, 1e-300)) / alpha, jnp.inf)
+        d1 = jnp.where(y < 0, -1.0 / (alpha * y), 0.0)
+        d2 = jnp.where(y < 0, 1.0 / (alpha * y * y), 0.0)
+    elif method == "squareplus":
+        s = jnp.sqrt(y * y + 1.0 / (alpha * alpha))
+        val = 0.5 * beta * (y + s)
+        d1 = 0.5 * beta * (1.0 + y / s)
+        d2 = 0.5 * beta / (alpha * alpha * s * s * s)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown smoothing method {method}")
+    return val, d1, d2
+
+
+@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters", "ls_steps", "kappa"))
+@with_matmul_precision("highest")
+def barrier_core(
+    cqp: CondensedQP,
+    bounds: BoxBounds,
+    method: str,
+    alpha,
+    beta,
+    has_u: bool,
+    has_x: bool,
+    iters: int = 20,
+    ls_steps: int = 25,
+    kappa: float = 0.0,
+    start: Optional[Tuple[jax.Array, jax.Array]] = None,
+):
+    """Damped Newton on F(z) = 0.5 z'Hz + q'z + sum phi(violations)."""
+    dtype = cqp.qf.dtype
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    Ftc, Ftf = cqp.Ft[:, :, :nc], cqp.Ft[:, :, nc:]
+    alpha = jnp.asarray(alpha, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+
+    masks = (
+        jnp.isfinite(bounds.lo_c), jnp.isfinite(bounds.hi_c),
+        jnp.isfinite(bounds.lo_f), jnp.isfinite(bounds.hi_f),
+        jnp.isfinite(bounds.lo_x), jnp.isfinite(bounds.hi_x),
+    )
+
+    def violations(uc, uf):
+        """y = a'z - b per group (lo rows: lo - v; hi rows: v - hi)."""
+        x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
+            [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
+        return (
+            bounds.lo_c - uc, uc - bounds.hi_c,
+            bounds.lo_f - uf, uf - bounds.hi_f,
+            bounds.lo_x - x, x - bounds.hi_x,
+        )
+
+    def objective(uc, uf):
+        quad = 0.5 * uc @ (cqp.Hcc @ uc) + cqp.qc @ uc
+        quad += jnp.sum(uf * jnp.einsum("mij,mj->mi", cqp.Hff, uf)) * 0.5
+        quad += jnp.sum(jnp.einsum("mij,mj->mi", cqp.Hcf, uf) * uc)
+        quad += jnp.sum(cqp.qf * uf)
+        ys = violations(uc, uf)
+        pen = sum(
+            jnp.sum(jnp.where(m, _phi(method, jnp.where(m, y, -1.0), alpha, beta)[0], 0.0))
+            for m, y in zip(masks, ys)
+        )
+        return quad + pen
+
+    def newton_step(carry, _):
+        uc, uf, fval = carry
+        ys = violations(uc, uf)
+        phis = [
+            _phi(method, jnp.where(m, y, -1.0), alpha, beta) for m, y in zip(masks, ys)
+        ]
+        d1 = [jnp.where(m, p[1], 0.0) for m, p in zip(masks, phis)]
+        d2 = [jnp.where(m, p[2], 0.0) for m, p in zip(masks, phis)]
+        clo1, chi1, flo1, fhi1, xlo1, xhi1 = d1
+        clo2, chi2, flo2, fhi2, xlo2, xhi2 = d2
+
+        # gradient: Hz + q + sum phi' * a  (lo rows have a = -e, hi rows a = +e)
+        gc = cqp.Hcc @ uc + jnp.einsum("mij,mj->i", cqp.Hcf, uf) + cqp.qc
+        gf = jnp.einsum("mji,mj->mi", cqp.Hcf, jnp.broadcast_to(uc, (M, nc))) \
+            + jnp.einsum("mij,mj->mi", cqp.Hff, uf) + cqp.qf
+        if has_u:
+            gc = gc + (chi1 - clo1)
+            gf = gf + (fhi1 - flo1)
+        if has_x:
+            dx1 = xhi1 - xlo1
+            gc = gc + jnp.einsum("mji,mj->i", Ftc, dx1)
+            gf = gf + jnp.einsum("mji,mj->mi", Ftf, dx1)
+
+        Kcc, Kcf, Kff = box_weighted_K(
+            cqp, clo2 + chi2, flo2 + fhi2, xlo2 + xhi2,
+            Ftc, Ftf, has_u=has_u, has_x=has_x,
+        )
+        F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
+        duc, duf = arrow_apply(F, -gc, -gf)
+
+        # backtracking linesearch (handles +inf outside logbarrier domain)
+        def ls_body(k, best):
+            t = 0.5 ** k
+            f_t = objective(uc + t * duc, uf + t * duf)
+            better = f_t < best[0]
+            return (jnp.where(better, f_t, best[0]), jnp.where(better, t, best[1]))
+
+        f_best, t_best = lax.fori_loop(0, ls_steps, ls_body,
+                                       (fval, jnp.asarray(0.0, dtype)))
+        uc_n = uc + t_best * duc
+        uf_n = uf + t_best * duf
+        return (uc_n, uf_n, f_best), jnp.max(jnp.abs(t_best * duc)) if nc else t_best
+
+    if start is None:
+        uc0 = jnp.mean(cqp.w_prev[:, :nc], axis=0)
+        uf0 = cqp.w_prev[:, nc:]
+    else:
+        uc0, uf0 = start
+    f0 = objective(uc0, uf0)
+    (uc, uf, fval), _ = lax.scan(newton_step, (uc0, uf0, f0), None, length=iters)
+    return uc, uf, dict(obj=fval)
+
+
+def barrier_solve_np(
+    base_args, reg_args, u_l, u_u, x_l, x_u,
+    Nc: int,
+    weights=None,
+    method: str = "logbarrier",
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    settings: Optional[Dict[str, Any]] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
+    """numpy frontend for the smooth-barrier Newton path."""
+    settings = settings or {}
+    f = base_args[1]
+    M, N = f.shape[0], f.shape[1]
+    udim = base_args[3].shape[-1]
+    xdim = f.shape[-1]
+    dtype = np.dtype(np.asarray(f).dtype)
+
+    cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)
+    nc, nf = Nc * udim, (N - Nc) * udim
+    bounds = _layout_bounds(u_l, u_u, x_l, x_u, M, N, N * xdim, nc, nf, udim, dtype)
+    has_u = u_l is not None or u_u is not None
+    has_x = x_l is not None or x_u is not None
+
+    kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
+    # warm start from the exact box-QP solution: the smoothed optimum is a
+    # small perturbation of it, and the Newton then converges in a few steps
+    from .ipm import ipm_core
+
+    uc0, uf0, _ = ipm_core(
+        cqp, bounds, has_u=has_u, has_x=has_x,
+        iters=int(settings.get("ipm_iters", 30)),
+        tol_exp=int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5)),
+        kappa=kappa,
+    )
+    uc, uf, stats = barrier_core(
+        cqp, bounds, method=method,
+        alpha=alpha, beta=beta, has_u=has_u, has_x=has_x,
+        iters=int(settings.get("newton_iters", 20)),
+        ls_steps=int(settings.get("ls_steps", 25)),
+        kappa=kappa,
+        start=(uc0, uf0),
+    )
+    X, U = recover_XU(cqp, uc, uf, N=N)
+    data = dict(solver_state=settings.get("solver_state"), obj=float(stats["obj"]))
+    return np.asarray(X), np.asarray(U), data

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from ..dynamics import condense
 from ..ops.linalg import cholesky_factor, cholesky_solve
+from ..utils import with_matmul_precision
 
 
 class CondensedQP(NamedTuple):
@@ -134,6 +135,7 @@ def particle_H_q(
 
 
 @partial(jax.jit, static_argnames=("Nc",))
+@with_matmul_precision("highest")
 def assemble_condensed(
     x0,
     f,
@@ -188,6 +190,46 @@ def assemble_condensed(
     return CondensedQP(Hcc, Hcf, Hff, qc, qf, Ft, g, w_prev)
 
 
+class ArrowFactors(NamedTuple):
+    """Cached factorization of the arrow-structured SPD system."""
+
+    Lff: jax.Array  # (M, nf, nf) Cholesky of per-particle blocks
+    W: jax.Array  # (M, nf, nc)  Hff^{-1} Hcf'
+    LS: jax.Array  # (nc, nc)    Cholesky of the consensus Schur complement
+    Hcf: jax.Array  # (M, nc, nf) kept for rhs reduction
+
+
+def arrow_factor(Hcc, Hcf, Hff, jitter: float = 0.0) -> ArrowFactors:
+    """Factor the arrow system (batched per-particle Cholesky + consensus Schur)."""
+    nc, nf = Hcc.shape[-1], Hff.shape[-1]
+    if nf == 0:
+        LS = cholesky_factor(Hcc, jitter=jitter) if nc > 0 else Hcc
+        return ArrowFactors(Hff, jnp.zeros_like(Hcf), LS, Hcf)
+    Lff = cholesky_factor(Hff, jitter=jitter)  # (M, nf, nf)
+    if nc == 0:
+        return ArrowFactors(Lff, jnp.zeros_like(jnp.swapaxes(Hcf, -1, -2)), Hcc, Hcf)
+    W = cholesky_solve(Lff, jnp.swapaxes(Hcf, -1, -2))  # (M, nf, nc)
+    S = Hcc - jnp.einsum("mij,mjk->ik", Hcf, W)
+    LS = cholesky_factor(S, jitter=jitter)
+    return ArrowFactors(Lff, W, LS, Hcf)
+
+
+def arrow_apply(F: ArrowFactors, bc, bf):
+    """Solve the factored arrow system for rhs ([bc; bf]); returns (uc, uf) with
+        K [uc; uf] = [bc; bf]."""
+    nc, nf = F.LS.shape[-1] if F.LS.ndim == 2 else 0, F.Lff.shape[-1]
+    if nf == 0:
+        uc = cholesky_solve(F.LS, bc) if nc > 0 else bc
+        return uc, bf
+    if nc == 0:
+        return bc, cholesky_solve(F.Lff, bf)
+    y = cholesky_solve(F.Lff, bf)  # (M, nf)
+    rhs = bc - jnp.einsum("mij,mj->i", F.Hcf, y)
+    uc = cholesky_solve(F.LS, rhs)
+    uf = y - jnp.einsum("mij,j->mi", F.W, uc)
+    return uc, uf
+
+
 def solve_arrow(Hcc, Hcf, Hff, qc, qf, jitter: float = 0.0):
     """Solve the arrow-structured SPD system
 
@@ -198,25 +240,12 @@ def solve_arrow(Hcc, Hcf, Hff, qc, qf, jitter: float = 0.0):
     via batched per-particle Cholesky + Schur complement on the consensus block.
     Returns (uc (nc,), uf (M, nf)).
     """
-    nc, nf = Hcc.shape[-1], Hff.shape[-1]
-    if nf == 0:
-        uc = cholesky_solve(cholesky_factor(Hcc, jitter=jitter), -qc) if nc > 0 else qc
-        return uc, qf
-    L = cholesky_factor(Hff, jitter=jitter)  # (M, nf, nf)
-    if nc == 0:
-        uf = cholesky_solve(L, -qf)
-        return qc, uf
-    # W_i = Hff_i^{-1} Hcf_i'   (M, nf, nc)
-    W = cholesky_solve(L, jnp.swapaxes(Hcf, -1, -2))
-    y = cholesky_solve(L, qf)  # (M, nf)
-    S = Hcc - jnp.einsum("mij,mjk->ik", Hcf, W)
-    rhs = -qc + jnp.einsum("mij,mj->i", Hcf, y)
-    uc = cholesky_solve(cholesky_factor(S, jitter=jitter), rhs)
-    uf = -y - jnp.einsum("mij,j->mi", W, uc)
-    return uc, uf
+    F = arrow_factor(Hcc, Hcf, Hff, jitter=jitter)
+    return arrow_apply(F, -qc, -qf)
 
 
 @jax.jit
+@with_matmul_precision("highest")
 def solve_eq(cqp: CondensedQP):
     """Solve the unconstrained condensed QP. Returns (uc, uf)."""
     return solve_arrow(cqp.Hcc, cqp.Hcf, cqp.Hff, cqp.qc, cqp.qf)
@@ -228,6 +257,7 @@ def z_to_w(uc: jax.Array, uf: jax.Array, M: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("N",))
+@with_matmul_precision("highest")
 def recover_XU(cqp: CondensedQP, uc: jax.Array, uf: jax.Array, N: int):
     """Recover (X (M,N,xdim), U (M,N,udim)) from the consensus solution."""
     M = cqp.M

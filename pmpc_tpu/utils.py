@@ -89,6 +89,28 @@ def to_numpy_f64(x):
     return np.array(x, dtype=np.float64)
 
 
+def with_matmul_precision(prec: str):
+    """Decorator: trace the wrapped function under ``jax.default_matmul_precision``.
+
+    On TPU, float32 matmuls default to single-pass bfloat16 MXU execution
+    (~8 mantissa bits) — catastrophic for an interior-point solver. The solver
+    cores are traced under 'highest' (6-pass, full f32 accuracy); the context
+    participates in the jit cache key so this is safe under jit."""
+    import functools
+
+    import jax
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            with jax.default_matmul_precision(prec):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
 def default_dtype():
     """The framework's working dtype: float64 when JAX x64 is enabled, else float32."""
     import jax

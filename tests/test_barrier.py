@@ -1,0 +1,105 @@
+"""Smooth-constraint (logbarrier / squareplus) Newton path tests."""
+
+import numpy as np
+
+from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+import oracle
+
+
+def _solve(p, settings, u_bounds=(-0.5, 0.5), Nc=0):
+    M, N, xdim = p["f"].shape
+    udim = p["fu"].shape[-1]
+    u_l = np.full((M, N, udim), u_bounds[0])
+    u_u = np.full((M, N, udim), u_bounds[1])
+    return affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=u_l, u_u=u_u, x_l=None, x_u=None, Nc=Nc, settings=dict(settings),
+    )
+
+
+def test_logbarrier_approaches_exact_solution():
+    """For growing alpha the logbarrier solution converges to the exact
+    (IPM) solution of the box QP."""
+    rng = np.random.default_rng(11)
+    p = oracle.random_problem(rng, M=2, N=8, xdim=3, udim=2)
+    # start strictly inside the box so the logbarrier domain is non-empty
+    p = dict(p, U_prev=np.clip(p["U_prev"], -0.4, 0.4))
+    X_exact, U_exact, data = _solve(p, settings={})
+    assert data["ipm_converged"]
+
+    errs = []
+    for alpha in [10.0, 100.0, 1000.0]:
+        X_s, U_s, _ = _solve(p, settings=dict(smooth_cstr="logbarrier",
+                                              smooth_alpha=alpha, newton_iters=40))
+        assert np.all(np.isfinite(U_s))
+        assert U_s.max() < 0.5 and U_s.min() > -0.5  # strictly interior
+        errs.append(np.abs(U_s - U_exact).max())
+    assert errs[-1] < errs[0] / 4, f"errors should shrink with alpha: {errs}"
+    assert errs[-1] < 5e-2, f"logbarrier(alpha=1e3) too far from exact: {errs}"
+
+
+def test_logbarrier_matches_smooth_oracle():
+    """The logbarrier path must solve the smoothed problem itself (scipy BFGS
+    on the identical barrier objective over controls, states eliminated)."""
+    import scipy.optimize as sopt
+
+    rng = np.random.default_rng(14)
+    M, N, xdim, udim = 1, 6, 3, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    alpha, lo, hi = 50.0, -0.5, 0.5
+
+    X_s, U_s, _ = _solve(p, settings=dict(smooth_cstr="logbarrier", smooth_alpha=alpha))
+
+    # oracle: assemble the reduced quadratic from the canonical form by
+    # eliminating states with the dense KKT (U -> X map from dynamics)
+    from pmpc_tpu.solvers.reduced import assemble_condensed, recover_XU
+    import jax.numpy as jnp
+
+    cqp = assemble_condensed(
+        *[jnp.asarray(p[k]) for k in
+          ["x0", "f", "fx", "fu", "X_prev", "U_prev", "Q", "R", "X_ref", "U_ref"]],
+        reg_x=jnp.full(M, 1.0), reg_u=jnp.full(M, 0.1),
+        slew_reg=jnp.zeros(M), slew_reg0=jnp.zeros(M), slew_um1=jnp.zeros((M, udim)),
+        Nc=0,
+    )
+    H = np.asarray(cqp.Hff[0])
+    q = np.asarray(cqp.qf[0])
+
+    def F(w):
+        pen = -np.sum(np.log(np.maximum(alpha * (w - lo), 1e-300))) / alpha
+        pen += -np.sum(np.log(np.maximum(alpha * (hi - w), 1e-300))) / alpha
+        return 0.5 * w @ H @ w + q @ w + pen
+
+    def gF(w):
+        return H @ w + q - 1.0 / (alpha * (w - lo)) + 1.0 / (alpha * (hi - w))
+
+    w0 = np.zeros(N * udim)
+    res = sopt.minimize(F, w0, jac=gF, method="TNC",
+                        bounds=[(lo + 1e-9, hi - 1e-9)] * (N * udim),
+                        options=dict(maxfun=50000, xtol=1e-14, ftol=1e-16, gtol=1e-12))
+    U_o = res.x.reshape(N, udim)
+    np.testing.assert_allclose(U_s[0], U_o, atol=2e-4)
+
+
+def test_squareplus_penalty_approximates():
+    rng = np.random.default_rng(12)
+    p = oracle.random_problem(rng, M=2, N=8, xdim=3, udim=2)
+    X_exact, U_exact, _ = _solve(p, settings={})
+    X_s, U_s, _ = _solve(
+        p, settings=dict(smooth_cstr="squareplus", smooth_alpha=1e3,
+                         smooth_beta=1e3, newton_iters=40))
+    assert np.all(np.isfinite(U_s))
+    # squareplus is a soft hinge: solution near the exact one
+    assert np.abs(U_s - U_exact).max() < 5e-2
+
+
+def test_smooth_alpha_nan_sentinel_means_exact():
+    """smooth_alpha=NaN must route to the exact solver (static_backend.py:250)."""
+    rng = np.random.default_rng(13)
+    p = oracle.random_problem(rng, M=1, N=6, xdim=3, udim=2)
+    X1, U1, d1 = _solve(p, settings=dict(smooth_alpha=float("nan")))
+    assert "ipm_converged" in d1

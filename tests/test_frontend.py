@@ -1,0 +1,97 @@
+"""Frontend parity: Problem struct, batched solve_problems, accelerated, tune."""
+
+import numpy as np
+import pytest
+
+import pmpc_tpu
+from pmpc_tpu.problem import Problem
+from fixtures import dubins_f_fx_fu_fn, double_integrator_f_fx_fu_fn
+
+
+def test_problem_dim_inference_and_defaults():
+    p = Problem(N=20, xdim=4, udim=2)
+    assert p.N == 20 and p.xdim == 4 and p.udim == 2
+    assert p.Q.shape == (20, 4, 4) and np.allclose(p.Q[0], np.eye(4))
+    assert p.R.shape == (20, 2, 2) and np.allclose(p.R[0], 0.1 * np.eye(2))
+    assert p.reg_x == 1.0 and p.reg_u == 1.0
+    assert p.max_it == 30 and p.res_tol == 1e-6 and p.verbose is True
+    assert p.Nc == 0
+
+    p2 = Problem(Q=np.tile(np.eye(3), (7, 1, 1)), R=np.tile(np.eye(1), (7, 1, 1)))
+    assert p2.N == 7 and p2.xdim == 3 and p2.udim == 1
+
+    with pytest.raises(ValueError):
+        Problem(N=5, xdim=2)  # missing udim
+
+
+def test_problem_tiling_for_M():
+    p = Problem(N=10, xdim=4, udim=2, M=3)
+    assert p.Q.shape == (3, 10, 4, 4)
+    p.x0 = np.ones(4)
+    assert p.x0.shape == (3, 4)
+    with pytest.raises(AssertionError):
+        p.x0 = np.ones(5)
+
+
+def test_problem_mapping_protocol_solves():
+    p = Problem(N=8, xdim=4, udim=2)
+    p.f_fx_fu_fn = dubins_f_fx_fu_fn()
+    p.x0 = np.ones(4)
+    d = dict(p)
+    assert "Q" in d and "solver_settings" in d
+    X, U, data = pmpc_tpu.solve(**dict(p, verbose=False, max_it=3))
+    assert X.shape == (9, 4)
+
+
+def test_solve_problems_stacked_matches_individual():
+    f_fn = double_integrator_f_fx_fu_fn()
+    N, xdim, udim = 10, 2, 1
+    rng = np.random.default_rng(0)
+    problems = []
+    for i in range(4):
+        problems.append(dict(
+            f_fx_fu_fn=f_fn,
+            Q=np.tile(np.eye(xdim), (N, 1, 1)),
+            R=np.tile(0.1 * np.eye(udim), (N, 1, 1)),
+            x0=rng.normal(size=xdim),
+            max_it=10, res_tol=1e-7,
+        ))
+    rets = pmpc_tpu.solve_problems(problems, verbose=False)
+    assert len(rets) == 4
+    for (X, U, data), p in zip(rets, problems):
+        X_i, U_i, _ = pmpc_tpu.solve(**dict(p, verbose=False))
+        np.testing.assert_allclose(U, U_i, atol=1e-7)
+
+
+def test_solve_problems_heterogeneous_falls_back():
+    f_fn = double_integrator_f_fx_fu_fn()
+    p1 = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(2), (10, 1, 1)),
+              R=np.tile(np.eye(1), (10, 1, 1)), x0=np.ones(2), max_it=3)
+    p2 = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(2), (12, 1, 1)),
+              R=np.tile(np.eye(1), (12, 1, 1)), x0=np.ones(2), max_it=3)
+    rets = pmpc_tpu.solve_problems([p1, p2], verbose=False)
+    assert rets[0][0].shape == (11, 2) and rets[1][0].shape == (13, 2)
+
+
+def test_accelerated_scp_solve_runs():
+    f_fn = dubins_f_fx_fu_fn()
+    M, N, xdim, udim = 1, 10, 4, 2
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    x0 = np.ones((M, xdim))
+    X, U, data = pmpc_tpu.accelerated_scp_solve(
+        f_fn, Q, R, x0, verbose=False, max_it=15, res_tol=1e-5, reg_x=1.0, reg_u=0.1,
+    )
+    assert X is not None and X.shape == (M, N + 1, xdim)
+    assert data["hist"][-1]["resid"] < 1e-2
+
+
+def test_tune_scp_picks_a_reg():
+    f_fn = dubins_f_fx_fu_fn()
+    N, xdim, udim = 8, 4, 2
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    reg_x, reg_u = pmpc_tpu.tune_scp(
+        f_fn, Q, R, np.ones(xdim), sample_nb=3, reg_rng=(-1, 1), max_it=5,
+    )
+    assert reg_x > 0 and np.isclose(reg_u, 0.1 * reg_x)

@@ -1,0 +1,95 @@
+"""Fully-jitted SCP loop: agreement with the host-loop frontend + batching."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import pmpc_tpu
+from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+from fixtures import unicycle_step, dubins_f_fx_fu_fn
+
+
+def _dubins_data(M=1, N=15, xdim=4, udim=2, bounds=False):
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    x0 = np.tile(np.ones(xdim), (M, 1))
+    kw = dict(reg_x=1.0, reg_u=0.1)
+    if bounds:
+        kw.update(u_l=-np.ones((M, N, udim)), u_u=np.ones((M, N, udim)))
+    return make_scp_data(x0, Q, R, **kw)
+
+
+def test_jitted_scp_matches_host_loop_unconstrained():
+    M, N, xdim, udim = 1, 15, 4, 2
+    data = _dubins_data(M, N)
+    solver = build_scp_solver(unicycle_step, N, xdim, udim, M, Nc=0,
+                              max_it=25, res_tol=1e-7)
+    X, U, info = solver(data)
+    assert X.shape == (M, N + 1, xdim)
+
+    X_h, U_h, d = pmpc_tpu.solve(
+        dubins_f_fx_fu_fn(), np.asarray(data.Q[0]), np.asarray(data.R[0]),
+        np.ones(xdim), reg_x=1.0, reg_u=0.1, max_it=25, res_tol=1e-7,
+        verbose=False, solver_settings=dict(Nc=0),
+    )
+    np.testing.assert_allclose(np.asarray(U[0]), U_h, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(X[0]), X_h, atol=1e-6)
+
+
+def test_jitted_scp_matches_host_loop_bounded():
+    M, N, xdim, udim = 1, 15, 4, 2
+    data = _dubins_data(M, N, bounds=True)
+    solver = build_scp_solver(unicycle_step, N, xdim, udim, M, Nc=0,
+                              max_it=60, res_tol=1e-6, has_u_bounds=True,
+                              ipm_iters=30, ipm_tol_exp=-8)
+    X, U, info = solver(data)
+    X_h, U_h, d = pmpc_tpu.solve(
+        dubins_f_fx_fu_fn(), np.asarray(data.Q[0]), np.asarray(data.R[0]),
+        np.ones(xdim),
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+        reg_x=1.0, reg_u=0.1, max_it=60, res_tol=1e-6,
+        verbose=False, solver_settings=dict(Nc=0),
+    )
+    assert bool(info["converged"]), f"resid={info['resid']}"
+    np.testing.assert_allclose(np.asarray(U[0]), U_h, atol=1e-4)
+
+
+def test_jitted_scp_vmap_batch():
+    """A scenario batch via vmap: each problem solved as if alone."""
+    M, N, xdim, udim, B = 2, 10, 4, 2, 3
+    rng = np.random.default_rng(0)
+    datas = []
+    for b in range(B):
+        Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+        R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+        x0 = rng.normal(size=(M, xdim))
+        datas.append(make_scp_data(x0, Q, R, reg_x=1.0, reg_u=0.1))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    solver = build_scp_solver(unicycle_step, N, xdim, udim, M, Nc=3,
+                              max_it=15, res_tol=1e-6)
+    Xb, Ub, infob = jax.vmap(solver)(stacked)
+    assert Xb.shape == (B, M, N + 1, xdim)
+    for b in range(B):
+        X1, U1, _ = solver(datas[b])
+        # vmap reassociates reductions; differences amplify over SCP iterations
+        np.testing.assert_allclose(np.asarray(Ub[b]), np.asarray(U1), atol=1e-4)
+    # consensus within each scenario
+    assert np.ptp(np.asarray(Ub)[:, :, :3, :], axis=1).max() < 1e-10
+
+
+def test_jitted_scp_per_particle_params():
+    """Per-particle dynamics parameters (sampled-dynamics particles)."""
+    M, N, xdim, udim = 3, 10, 4, 2
+    params = jnp.stack([jnp.array([1.0 + 0.2 * i, 1.0, 0.3]) for i in range(M)])
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    data = make_scp_data(np.tile(np.ones(xdim), (M, 1)), Q, R,
+                         reg_x=1.0, reg_u=0.1, params=params)
+
+    def dyn(x, u, p):
+        return unicycle_step(x, u, (p[0], p[1], p[2]))
+
+    solver = build_scp_solver(dyn, N, xdim, udim, M, Nc=4, max_it=20, res_tol=1e-6)
+    X, U, info = solver(data)
+    assert np.ptp(np.asarray(U)[:, :4, :], axis=0).max() < 1e-10
+    assert np.ptp(np.asarray(U)[:, 4:, :], axis=0).max() > 1e-8

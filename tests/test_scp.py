@@ -124,3 +124,22 @@ def test_scp_nan_failure_contract():
     Q, R = np.tile(np.eye(xdim), (N, 1, 1)), np.tile(np.eye(udim), (N, 1, 1))
     X, U, data = pmpc_tpu.solve(bad_fn, Q, R, np.ones(xdim), max_it=2, verbose=False)
     assert X is None and U is None and data is None
+
+
+def test_scp_dubins_with_control_bounds():
+    """Reference tests/simple.py configuration: Dubins car, |u| <= 1."""
+    N, xdim, udim = 25, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    x0 = np.ones(xdim)
+    u_l, u_u = -np.ones((N, udim)), np.ones((N, udim))
+    X, U, data = pmpc_tpu.solve(
+        f_fn, Q, R, x0, u_l=u_l, u_u=u_u,
+        reg_x=1e0, reg_u=1e-1, max_it=60, res_tol=1e-5, verbose=False,
+    )
+    assert X is not None
+    assert data["hist"][-1]["resid"] < 1e-5
+    assert U.max() <= 1.0 + 1e-6 and U.min() >= -1.0 - 1e-6
+    # bounds must actually bind somewhere for this config
+    assert (np.abs(np.abs(U) - 1.0) < 1e-4).any()
