@@ -97,7 +97,11 @@ def __getattr__(name):
 
         return solve_problems
     if name == "remote":
-        from . import remote
+        import importlib
+        import sys as _sys
 
-        return remote
+        mod = _sys.modules.get(__name__ + ".remote")
+        if mod is None:
+            mod = importlib.import_module(".remote", __name__)
+        return mod
     raise AttributeError(f"module 'pmpc_tpu' has no attribute {name!r}")
