@@ -1,0 +1,248 @@
+"""General cone IPM: nonnegative + second-order cones over a dense condensed KKT.
+
+This covers what the reference delegates to ECOS/Mosek for *arbitrary* user
+cone constraints (``extra_cstrs`` splicing, ``PMPC.jl/src/cone_utils.jl:99-170``;
+``main.jl:292-316``): constraints that do not fit the box/arrow structure of
+`pmpc_tpu.solvers.ipm`. Mehrotra predictor-corrector with Nesterov-Todd
+scaling:
+
+    min 0.5 v'Pv + q'v   s.t.  G v + s = h,  s in K = R+^l x SOC(p_1) x ... ,
+
+- R+ rows: W^2 = diag(z/s),
+- SOC cones: W = beta (2 w w' - J), the standard NT scaling point; cones are
+  PADDED to a common size (padding rows of G/h are zero, so padded slack
+  coordinates stay exactly zero and never affect the Jordan algebra),
+- each Newton step factors K = P + G' W^2 G once (dense batched Cholesky,
+  MXU-shaped) and reuses it for predictor and corrector.
+
+Exponential cones are NOT implemented natively; the reference only generates
+them for its own logbarrier smoothing, which `pmpc_tpu` solves directly as a
+central-path target (see `solvers.ipm`). User exp-cone constraints should use
+the squareplus/logbarrier reformulations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linalg import cholesky_factor, cholesky_solve
+from ..utils import with_matmul_precision
+
+
+class ConeLP(NamedTuple):
+    """One cone QP instance (dense, static shapes)."""
+
+    P: jax.Array  # (nv, nv)
+    q: jax.Array  # (nv,)
+    Gl: jax.Array  # (ml, nv)  nonneg rows
+    hl: jax.Array  # (ml,)
+    Gq: jax.Array  # (ncones, pmax, nv)  SOC blocks, zero-padded
+    hq: jax.Array  # (ncones, pmax)
+    qmask: jax.Array  # (ncones, pmax) bool: True on real coordinates
+
+
+def _soc_W(s, z):
+    """NT scaling for one padded SOC: returns (W, W2, lam, Winv), lam = W s.
+
+    s, z: (p,) with padding zeros; zero padding is exactly neutral: padded
+    coordinates of lam stay 0 and padded rows of G are 0, so they never
+    influence K, steps, or mu."""
+    p = s.shape[0]
+    Jdiag = jnp.concatenate([jnp.ones((1,), s.dtype), -jnp.ones((p - 1,), s.dtype)])
+    det_s = s[0] ** 2 - jnp.sum(s[1:] ** 2)
+    det_z = z[0] ** 2 - jnp.sum(z[1:] ** 2)
+    det_s = jnp.maximum(det_s, 1e-30)
+    det_z = jnp.maximum(det_z, 1e-30)
+    sbar = s / jnp.sqrt(det_s)
+    zbar = z / jnp.sqrt(det_z)
+    gamma = jnp.sqrt((1.0 + sbar @ zbar) / 2.0)
+    wbar = (sbar + Jdiag * zbar) / (2.0 * gamma)  # normalized NT point, det=1
+    beta = (det_s / det_z) ** 0.25
+    # NT point w = beta * wbar has quadratic representation P(w) = W^2:
+    #   P(u) = 2 u u' - det(u) J,  P(w) z = s,  det(w) = beta^2.
+    # The scaling itself is W = P(sqrt_J(w)) (Jordan square root), which is the
+    # symmetric PSD square root of P(w) and satisfies W z = W^{-1} s = lam.
+    w = beta * wbar
+    y0 = jnp.sqrt((w[0] + beta) / 2.0)  # sqrt_J(w): y0^2+|y1|^2=w0, 2 y0 y1=w1
+    y1 = w[1:] / (2.0 * y0)
+    y = jnp.concatenate([y0[None], y1])
+    Jmat = jnp.diag(Jdiag)
+    W = 2.0 * jnp.outer(y, y) - beta * Jmat  # det(y) = beta
+    Jy = Jdiag * y
+    Winv = (2.0 / (beta * beta)) * jnp.outer(Jy, Jy) - Jmat / beta
+    Jw = Jdiag * w
+    W2inv = (2.0 / beta**4) * jnp.outer(Jw, Jw) - Jmat / (beta * beta)
+    lam = W @ z
+    return W, Winv, W2inv, lam
+
+
+def _soc_prod(u, v):
+    """Jordan product for SOC: (u'v ; u0 v1 + v0 u1)."""
+    first = jnp.sum(u * v, keepdims=True)
+    rest = u[0] * v[1:] + v[0] * u[1:]
+    return jnp.concatenate([first, rest])
+
+
+def _soc_inv(u):
+    """Jordan inverse: J u / det(u)."""
+    p = u.shape[0]
+    Jdiag = jnp.concatenate([jnp.ones((1,), u.dtype), -jnp.ones((p - 1,), u.dtype)])
+    det = u[0] ** 2 - jnp.sum(u[1:] ** 2)
+    return (Jdiag * u) / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+
+
+def _soc_step_len(s, ds):
+    """Largest alpha in [0, inf) with s + alpha ds in the SOC (padded ok)."""
+    a = ds[0] ** 2 - jnp.sum(ds[1:] ** 2)
+    b = 2.0 * (s[0] * ds[0] - jnp.sum(s[1:] * ds[1:]))
+    c = s[0] ** 2 - jnp.sum(s[1:] ** 2)
+    disc = b * b - 4.0 * a * c
+    sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # roots of a t^2 + b t + c = 0
+    r1 = jnp.where(jnp.abs(a) > 1e-30, (-b - sqrt_disc) / (2 * a), -c / jnp.where(jnp.abs(b) > 1e-30, b, -1e-30))
+    r2 = jnp.where(jnp.abs(a) > 1e-30, (-b + sqrt_disc) / (2 * a), jnp.inf)
+    # also the first coordinate must stay nonneg: s0 + alpha ds0 >= 0
+    r0 = jnp.where(ds[0] < 0, -s[0] / jnp.where(ds[0] < 0, ds[0], -1.0), jnp.inf)
+    # if no boundary crossing (disc < 0) the quadratic roots are irrelevant
+    rq = jnp.where(disc >= 0, jnp.stack([r1, r2]), jnp.inf)
+    cands = jnp.concatenate([rq, r0[None]])
+    return jnp.min(jnp.where(cands > 0, cands, jnp.inf))
+
+
+@partial(jax.jit, static_argnames=("iters", "tol_exp", "kappa"))
+@with_matmul_precision("highest")
+def cone_qp_solve(
+    prob: ConeLP,
+    iters: int = 35,
+    tol_exp: int = -8,
+    kappa: float = 0.0,
+):
+    """Solve the cone QP; returns (v, s, z, stats)."""
+    dtype = prob.q.dtype
+    tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
+    nv = prob.q.shape[0]
+    ml = prob.hl.shape[0]
+    ncones, pmax = prob.hq.shape
+    nu = ml + ncones  # cone degree for mu normalization
+    nu = max(nu, 1)
+    tau = jnp.asarray(0.99 if dtype == jnp.float64 else 0.95, dtype=dtype)
+
+    e_soc = jnp.zeros((ncones, pmax), dtype).at[:, 0].set(1.0)
+
+    def init():
+        v = cholesky_solve(cholesky_factor(prob.P, jitter=1e-8), -prob.q)
+        sl = jnp.maximum(prob.hl - prob.Gl @ v, 1.0)
+        zl = 1.0 / sl
+        # SOC slacks start at the cone's interior point scaled to dominate the
+        # initial residual magnitude
+        resq = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, v)
+        scale = jnp.maximum(1.0, 2.0 * jnp.linalg.norm(resq, axis=-1, keepdims=True))
+        sq = e_soc * scale
+        zq = e_soc / scale
+        return v, sl, zl, sq, zq
+
+    v0, sl0, zl0, sq0, zq0 = init()
+
+    def body(k, carry):
+        v, sl, zl, sq, zq, done, ok, mu_prev, nsteps = carry
+        # residuals
+        r_d = prob.P @ v + prob.q + prob.Gl.T @ zl + jnp.einsum("cpv,cp->v", prob.Gq, zq)
+        r_pl = prob.Gl @ v + sl - prob.hl
+        r_pq = jnp.einsum("cpv,v->cp", prob.Gq, v) + sq - prob.hq
+
+        # scalings
+        wl2 = zl / sl  # (ml,)
+        Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
+        mu = (jnp.sum(sl * zl) + jnp.sum(sq * zq)) / nu
+
+        K = prob.P + (prob.Gl.T * wl2) @ prob.Gl \
+            + jnp.einsum("cpv,cpr,crw->vw", prob.Gq, Wq2inv, prob.Gq)
+        L = cholesky_factor(K, jitter=kappa)
+
+        def winv_lam_dc(Wi, lam, dc):
+            """W^{-1} (lam^{-1} o d_c)."""
+            return Wi @ _soc_prod(_soc_inv(lam), dc)
+
+        def solve_dir(dl_c, dq_c):
+            """Newton direction for complementarity targets (dl_c over R+,
+            dq_c over SOC, both in scaled space).
+
+            Reduction: dz = W^{-2}(G dv + r_p) - W^{-1}(lam^{-1} o d_c),
+            K dv = -(r_d + G'[W^{-2} r_p - W^{-1}(lam^{-1} o d_c)])."""
+            rhs = -(r_d
+                    + prob.Gl.T @ (wl2 * r_pl - dl_c / sl)
+                    + jnp.einsum("cpv,cp->v", prob.Gq,
+                                 jnp.einsum("cpr,cr->cp", Wq2inv, r_pq)
+                                 - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)))
+            dv = cholesky_solve(L, rhs)
+            Gdv_l = prob.Gl @ dv
+            Gdv_q = jnp.einsum("cpv,v->cp", prob.Gq, dv)
+            dsl = -r_pl - Gdv_l
+            dsq = -r_pq - Gdv_q
+            dzl = wl2 * (Gdv_l + r_pl) - dl_c / sl
+            dzq = jnp.einsum("cpr,cr->cp", Wq2inv, Gdv_q + r_pq) \
+                - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)
+            return dv, dsl, dzl, dsq, dzq
+
+        def step_len(sl_, dsl, zl_, dzl, sq_, dsq, zq_, dzq):
+            def posratio(val, dval):
+                r = jnp.where(dval < 0, -val / jnp.where(dval < 0, dval, -1.0), jnp.inf)
+                return jnp.min(r) if r.size else jnp.asarray(jnp.inf, dtype)
+            ap = jnp.minimum(posratio(sl_, dsl),
+                             jnp.min(jax.vmap(_soc_step_len)(sq_, dsq)) if ncones else jnp.asarray(jnp.inf, dtype))
+            ad = jnp.minimum(posratio(zl_, dzl),
+                             jnp.min(jax.vmap(_soc_step_len)(zq_, dzq)) if ncones else jnp.asarray(jnp.inf, dtype))
+            return jnp.minimum(1.0, tau * ap), jnp.minimum(1.0, tau * ad)
+
+        # predictor
+        dl_aff = sl * zl
+        dq_aff = jax.vmap(_soc_prod)(lamq, lamq)
+        dv_a, dsl_a, dzl_a, dsq_a, dzq_a = solve_dir(dl_aff, dq_aff)
+        ap_a, ad_a = step_len(sl, dsl_a, zl, dzl_a, sq, dsq_a, zq, dzq_a)
+        a_a = jnp.minimum(ap_a, ad_a)
+        mu_aff = (jnp.sum((sl + a_a * dsl_a) * (zl + a_a * dzl_a))
+                  + jnp.sum((sq + a_a * dsq_a) * (zq + a_a * dzq_a))) / nu
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        # corrector: d_c = lam o lam + (W^{-T} ds_aff) o (W dz_aff) - sigma mu e
+        dl_c = sl * zl + dsl_a * dzl_a - sigma * mu
+        eta_a = jax.vmap(lambda Wi, x: Wi @ x)(Wqinv, dsq_a)  # W^{-T} ds_aff
+        th_a = jax.vmap(lambda Wm, x: Wm @ x)(Wq, dzq_a)  # W dz_aff
+        dq_c = jax.vmap(_soc_prod)(lamq, lamq) \
+            + jax.vmap(_soc_prod)(eta_a, th_a) \
+            - sigma * mu * e_soc
+        dv, dsl, dzl, dsq, dzq = solve_dir(dl_c, dq_c)
+        ap, ad = step_len(sl, dsl, zl, dzl, sq, dsq, zq, dzq)
+        a = jnp.minimum(ap, ad)
+
+        v_n = v + a * dv
+        sl_n, zl_n = sl + a * dsl, zl + a * dzl
+        sq_n, zq_n = sq + a * dsq, zq + a * dzq
+        mu_n = (jnp.sum(sl_n * zl_n) + jnp.sum(sq_n * zq_n)) / nu
+
+        rp_inf = jnp.maximum(
+            jnp.max(jnp.abs(r_pl)) if ml else jnp.asarray(0.0, dtype),
+            jnp.max(jnp.abs(r_pq)) if ncones else jnp.asarray(0.0, dtype),
+        )
+        rd_inf = jnp.max(jnp.abs(r_d))
+        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (rd_inf < 1e3 * tol)
+        now_bad = ~jnp.isfinite(mu_n) | (mu_n > 1e12)
+
+        sel = lambda a_, b_: jnp.where(done, b_, a_)
+        new = (v_n, sl_n, zl_n, sq_n, zq_n,
+               done | now_done | now_bad, ok | now_done, mu_n,
+               nsteps + jnp.where(done, 0, 1).astype(jnp.int32))
+        old = (v, sl, zl, sq, zq, done, ok, mu_prev, nsteps)
+        return jax.tree.map(sel, new, old)
+
+    carry0 = (v0, sl0, zl0, sq0, zq0,
+              jnp.asarray(ml + ncones == 0), jnp.asarray(ml + ncones == 0),
+              jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
+    v, sl, zl, sq, zq, done, ok, mu, nsteps = lax.fori_loop(0, iters, body, carry0)
+    stats = dict(mu=mu, iters=nsteps, converged=ok)
+    return v, (sl, sq), (zl, zq), stats

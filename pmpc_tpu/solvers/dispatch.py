@@ -57,6 +57,28 @@ def affine_solve_np(
     extra_cstrs = settings.get("extra_cstrs", None)
     has_ineq = any(z is not None for z in (u_l, u_u, x_l, x_u)) or bool(extra_cstrs)
 
+    if extra_cstrs:
+        # arbitrary cones couple variables across particles: dense cone path
+        from .extras import cone_solve_with_extras
+        from .reduced import assemble_condensed as _assemble
+
+        cqp = _assemble(
+            jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
+            jnp.asarray(X_prev), jnp.asarray(U_prev), jnp.asarray(Q), jnp.asarray(R),
+            jnp.asarray(X_ref), jnp.asarray(U_ref),
+            jnp.asarray(reg_x), jnp.asarray(reg_u),
+            jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
+            Nc=Nc, weights=weights,
+        )
+        xdim = f.shape[-1]
+        udim = fu.shape[-1]
+        X, U, data = cone_solve_with_extras(
+            cqp, N=N, udim=udim, xdim=xdim,
+            u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
+            extra_cstrs=extra_cstrs, settings=settings,
+        )
+        return np.asarray(X), np.asarray(U), data
+
     base_args = (
         jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
         jnp.asarray(X_prev), jnp.asarray(U_prev), jnp.asarray(Q), jnp.asarray(R),

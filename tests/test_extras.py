@@ -1,0 +1,118 @@
+"""extra_cstrs: user SOC constraints through the full solve path (config 3)."""
+
+import numpy as np
+import pytest
+import scipy.optimize as sopt
+
+import pmpc_tpu
+from pmpc_tpu.solvers.dispatch import affine_solve_np
+from fixtures import dubins_f_fx_fu_fn
+
+import oracle
+
+
+def _u_norm_socs(M, N, xdim, udim, Nc, umax):
+    """One SOC per (particle, step): ||u_{i,j}|| <= umax.
+
+    Built in the reference extra_cstrs format over the canonical layout
+    z_full = [u_cons; u_free; x]."""
+    nc, nf = Nc * udim, (N - Nc) * udim
+    nu_total = nc + M * nf
+    n_full = nu_total + M * N * xdim
+    n, u_idx, x_idx = oracle.layout(N, xdim, udim, M, Nc)
+    rows = []
+    hs = []
+    qsizes = []
+    seen = set()
+    for i in range(M):
+        for j in range(N):
+            sl = u_idx(i, j)
+            key = (sl.start, sl.stop)
+            if key in seen:  # consensus controls shared: constrain once
+                continue
+            seen.add(key)
+            G = np.zeros((1 + udim, n_full))
+            h = np.zeros(1 + udim)
+            h[0] = umax
+            for r in range(udim):
+                G[1 + r, sl.start + r] = -1.0  # s_r = u_r (s = h - Gz)
+            rows.append(G)
+            hs.append(h)
+            qsizes.append(1 + udim)
+    G_left = np.concatenate(rows, axis=0)
+    h = np.concatenate(hs)
+    G_right = np.zeros((G_left.shape[0], 0))
+    c_left = np.zeros(n_full)
+    c_right = np.zeros(0)
+    return (0, qsizes, 0, G_left, G_right, h, c_left, c_right)
+
+
+def test_affine_solve_with_soc_matches_oracle():
+    rng = np.random.default_rng(21)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    umax = 0.6
+    ec = _u_norm_socs(M, N, xdim, udim, Nc, umax)
+
+    X, U, data = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None,
+        Nc=Nc, settings=dict(extra_cstrs=[ec]),
+    )
+    assert data["ipm_converged"], data
+    norms = np.linalg.norm(U, axis=-1)
+    assert norms.max() <= umax + 1e-6
+    # consensus shared
+    assert np.ptp(U[:, :Nc, :], axis=0).max() < 1e-10
+
+    # oracle: canonical z_full QP with eq dynamics + per-step SOC constraints
+    P, q = oracle.build_Pq(**p, reg_x=1.0, reg_u=0.1, slew_reg=np.zeros(M),
+                           slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)), Nc=Nc)
+    A, b = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"], Nc)
+    n, u_idx, x_idx = oracle.layout(N, xdim, udim, M, Nc)
+    cons = [sopt.LinearConstraint(A, b, b)]
+    seen = set()
+    for i in range(M):
+        for j in range(N):
+            sl = u_idx(i, j)
+            if (sl.start, sl.stop) in seen:
+                continue
+            seen.add((sl.start, sl.stop))
+
+            def make(sl=sl):
+                return lambda z: umax - np.linalg.norm(z[sl])
+
+            cons.append(sopt.NonlinearConstraint(make(), 0.0, np.inf))
+    z0 = oracle.solve_eq_kkt(P, q, A, b)
+    res = sopt.minimize(lambda z: 0.5 * z @ P @ z + q @ z, z0,
+                        jac=lambda z: P @ z + q, hess=lambda z: P,
+                        constraints=cons, method="trust-constr",
+                        options=dict(maxiter=3000, gtol=1e-12, xtol=1e-14))
+    X_o, U_o = oracle.split_z(res.x, N, xdim, udim, M, Nc)
+    np.testing.assert_allclose(U, U_o, atol=2e-4)
+
+
+def test_scp_solve_with_soc_extra_cstrs():
+    """End-to-end SCP with a thrust-cone style constraint on the Dubins car."""
+    N, xdim, udim = 12, 4, 2
+    umax = 0.8
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+
+    def extra_cstrs_fns(X_prev, U_prev, problems):
+        return [_u_norm_socs(1, N, xdim, udim, N, umax)]  # default full consensus
+
+    X, U, data = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim),
+        extra_cstrs_fns=extra_cstrs_fns,
+        reg_x=1.0, reg_u=0.1, max_it=40, res_tol=1e-5, verbose=False,
+    )
+    assert X is not None
+    assert data["hist"][-1]["resid"] < 1e-4
+    norms = np.linalg.norm(U, axis=-1)
+    assert norms.max() <= umax + 1e-5
+    assert norms.max() > umax - 0.05, "the cone constraint should be active"
