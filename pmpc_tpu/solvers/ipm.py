@@ -131,8 +131,11 @@ def ipm_core(
 
     def slacks(uc, uf):
         """Slack values s = h - Gz per group (garbage on masked rows)."""
-        x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
-            [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
+        if has_x:
+            x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
+                [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
+        else:  # state rows are fully masked: skip the (M, NX, NU) matmul
+            x = jnp.zeros((M, NX), dtype=dtype)
         return (
             uc - bounds.lo_c, bounds.hi_c - uc,
             uf - bounds.lo_f, bounds.hi_f - uf,
@@ -203,8 +206,11 @@ def ipm_core(
 
         def recover_steps(duc, duf, v):
             """ds = -r_p - G dz; dlam = w * G dz + v."""
-            dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
-                [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1))
+            if has_x:
+                dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
+                    [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1))
+            else:
+                dx = jnp.zeros((M, NX), dtype=dtype)
             Gdz = (-duc, duc, -duf, duf, -dx, dx)
             ds = tuple(jnp.where(m, -rp - g, 0.0)
                        for m, rp, g in zip(masks, r_p, Gdz))
@@ -292,7 +298,15 @@ def ipm_core(
         old_state = IPMState(uc, uf, s, lam, mu, done, ok, it_count)
         return keep(new_state, old_state)
 
-    state = lax.fori_loop(0, iters, make_body(True), state0)
+    # while_loop instead of a fixed fori: under vmap the loop stops as soon as
+    # EVERY problem in the batch has converged (or diverged) — converged lanes
+    # freeze, so typical batches finish in ~8-12 iterations instead of `iters`.
+    main_body = make_body(True)
+
+    def while_cond(state):
+        return (~state.done) & (state.iters < iters)
+
+    state = lax.while_loop(while_cond, lambda s: main_body(0, s), state0)
     if mu_target_pos:
         # finish with pure centering Newton steps: Mehrotra's second-order
         # correction hunts mu -> 0 and wobbles around the mu_target point

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dynamics import condense
-from ..ops.linalg import cholesky_factor, cholesky_solve
+from ..ops.linalg import cholesky_factor, cholesky_solve, spd_apply, spd_factor
 from ..utils import with_matmul_precision
 
 
@@ -200,17 +200,19 @@ class ArrowFactors(NamedTuple):
 
 
 def arrow_factor(Hcc, Hcf, Hff, jitter: float = 0.0) -> ArrowFactors:
-    """Factor the arrow system (batched per-particle Cholesky + consensus Schur)."""
+    """Factor the arrow system (batched per-particle SPD factor + consensus
+    Schur). The small per-particle factors use the blocked inverse-Cholesky
+    (`ops.block_chol`) so every solve is matmul-shaped."""
     nc, nf = Hcc.shape[-1], Hff.shape[-1]
     if nf == 0:
-        LS = cholesky_factor(Hcc, jitter=jitter) if nc > 0 else Hcc
+        LS = spd_factor(Hcc, jitter=jitter) if nc > 0 else Hcc
         return ArrowFactors(Hff, jnp.zeros_like(Hcf), LS, Hcf)
-    Lff = cholesky_factor(Hff, jitter=jitter)  # (M, nf, nf)
+    Lff = spd_factor(Hff, jitter=jitter)  # (M, nf, nf)
     if nc == 0:
         return ArrowFactors(Lff, jnp.zeros_like(jnp.swapaxes(Hcf, -1, -2)), Hcc, Hcf)
-    W = cholesky_solve(Lff, jnp.swapaxes(Hcf, -1, -2))  # (M, nf, nc)
+    W = spd_apply(Lff, jnp.swapaxes(Hcf, -1, -2))  # (M, nf, nc)
     S = Hcc - jnp.einsum("mij,mjk->ik", Hcf, W)
-    LS = cholesky_factor(S, jitter=jitter)
+    LS = spd_factor(S, jitter=jitter)
     return ArrowFactors(Lff, W, LS, Hcf)
 
 
@@ -219,13 +221,13 @@ def arrow_apply(F: ArrowFactors, bc, bf):
         K [uc; uf] = [bc; bf]."""
     nc, nf = F.LS.shape[-1] if F.LS.ndim == 2 else 0, F.Lff.shape[-1]
     if nf == 0:
-        uc = cholesky_solve(F.LS, bc) if nc > 0 else bc
+        uc = spd_apply(F.LS, bc) if nc > 0 else bc
         return uc, bf
     if nc == 0:
-        return bc, cholesky_solve(F.Lff, bf)
-    y = cholesky_solve(F.Lff, bf)  # (M, nf)
+        return bc, spd_apply(F.Lff, bf)
+    y = spd_apply(F.Lff, bf)  # (M, nf)
     rhs = bc - jnp.einsum("mij,mj->i", F.Hcf, y)
-    uc = cholesky_solve(F.LS, rhs)
+    uc = spd_apply(F.LS, rhs)
     uf = y - jnp.einsum("mij,j->mi", F.W, uc)
     return uc, uf
 
