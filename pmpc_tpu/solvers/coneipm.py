@@ -134,16 +134,28 @@ def cone_qp_solve(
 
     e_soc = jnp.zeros((ncones, pmax), dtype).at[:, 0].set(1.0)
 
+    def _shift_nonneg(u):
+        a = -jnp.min(u) if u.size else jnp.asarray(-1.0, dtype)
+        return jnp.where(a < 0, u, u + (1.0 + a))
+
+    def _shift_soc(u):
+        """Shift u (c, p) into the SOC interiors along e."""
+        a = jnp.linalg.norm(u[:, 1:], axis=-1) - u[:, 0]  # (c,)
+        shift = jnp.where(a < 0, 0.0, 1.0 + a)
+        return u.at[:, 0].add(shift)
+
     def init():
-        v = cholesky_solve(cholesky_factor(prob.P, jitter=1e-8), -prob.q)
-        sl = jnp.maximum(prob.hl - prob.Gl @ v, 1.0)
-        zl = 1.0 / sl
-        # SOC slacks start at the cone's interior point scaled to dominate the
-        # initial residual magnitude
-        resq = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, v)
-        scale = jnp.maximum(1.0, 2.0 * jnp.linalg.norm(resq, axis=-1, keepdims=True))
-        sq = e_soc * scale
-        zq = e_soc / scale
+        # cvxopt-style start: least-squares KKT point, slacks/duals shifted
+        # into the cone interiors (robust for LP-like objectives and large h)
+        GtG = prob.Gl.T @ prob.Gl + jnp.einsum("cpv,cpw->vw", prob.Gq, prob.Gq)
+        Gth = prob.Gl.T @ prob.hl + jnp.einsum("cpv,cp->v", prob.Gq, prob.hq)
+        v = cholesky_solve(cholesky_factor(prob.P + GtG, jitter=1e-8), -prob.q + Gth)
+        res_l = prob.hl - prob.Gl @ v  # = s_hat
+        res_q = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, v)
+        sl = _shift_nonneg(res_l)
+        zl = _shift_nonneg(-res_l)
+        sq = _shift_soc(res_q) if ncones else res_q
+        zq = _shift_soc(-res_q) if ncones else res_q
         return v, sl, zl, sq, zq
 
     v0, sl0, zl0, sq0, zq0 = init()
@@ -219,6 +231,20 @@ def cone_qp_solve(
         dv, dsl, dzl, dsq, dzq = solve_dir(dl_c, dq_c)
         ap, ad = step_len(sl, dsl, zl, dzl, sq, dsq, zq, dzq)
         a = jnp.minimum(ap, ad)
+
+        # recovery: if the corrector step collapses (boundary collision from
+        # the second-order term), fall back to a plain centering direction
+        # with sigma = 0.8 — reuses the factorization, restores progress
+        dl_safe = sl * zl - 0.8 * mu
+        dq_safe = jax.vmap(_soc_prod)(lamq, lamq) - 0.8 * mu * e_soc
+        dv2, dsl2, dzl2, dsq2, dzq2 = solve_dir(dl_safe, dq_safe)
+        ap2, ad2 = step_len(sl, dsl2, zl, dzl2, sq, dsq2, zq, dzq2)
+        a2 = jnp.minimum(ap2, ad2)
+        use_safe = a < 0.05
+        pick = lambda x_, y_: jnp.where(use_safe, y_, x_)
+        dv, dsl, dzl, dsq, dzq = (pick(dv, dv2), pick(dsl, dsl2), pick(dzl, dzl2),
+                                  pick(dsq, dsq2), pick(dzq, dzq2))
+        a = pick(a, a2)
 
         v_n = v + a * dv
         sl_n, zl_n = sl + a * dsl, zl + a * dzl

@@ -57,6 +57,42 @@ def affine_solve_np(
     extra_cstrs = settings.get("extra_cstrs", None)
     has_ineq = any(z is not None for z in (u_l, u_u, x_l, x_u)) or bool(extra_cstrs)
 
+    k = settings.get("k", None)
+    if k is not None and int(k) >= 0 and int(k) != M:
+        # k-worst-particle (CVaR) objective: cone epigraph program
+        if extra_cstrs:
+            raise NotImplementedError("k (CVaR) combined with extra_cstrs is not supported yet")
+        from .cvar import cvar_solve, particle_constants
+        from .reduced import particle_H_q
+        import jax as _jax
+
+        args16 = [jnp.asarray(a) for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
+                                           X_ref, U_ref, reg_x, reg_u,
+                                           slew_reg, slew_reg0, slew_um1)]
+        H_per, q_per, Ft, g = _jax.vmap(particle_H_q)(*args16)
+        udim = fu.shape[-1]
+        nc = Nc * udim
+        from .reduced import CondensedQP as _CQP
+
+        cqp = _CQP(
+            Hcc=jnp.sum(H_per[:, :nc, :nc], axis=0),
+            Hcf=H_per[:, :nc, nc:], Hff=H_per[:, nc:, nc:],
+            qc=jnp.sum(q_per[:, :nc], axis=0), qf=q_per[:, nc:],
+            Ft=Ft, g=g, w_prev=jnp.asarray(U_prev).reshape(M, -1),
+        )
+        # per-particle z_i = [uc; uf_i] quadratics keep their own consensus block
+        H_zi = np.asarray(H_per)
+        q_zi = np.asarray(q_per)
+        c_per = particle_constants(np.asarray(g), X_prev, U_prev, Q, R,
+                                   X_ref, U_ref, reg_x, reg_u,
+                                   slew_reg0, slew_um1)
+        xdim = f.shape[-1]
+        X, U, data = cvar_solve(
+            H_zi, q_zi, c_per, cqp, N=N, udim=udim, xdim=xdim, k=int(k),
+            u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u, settings=settings,
+        )
+        return np.asarray(X), np.asarray(U), data
+
     if extra_cstrs:
         # arbitrary cones couple variables across particles: dense cone path
         from .extras import cone_solve_with_extras
