@@ -47,6 +47,7 @@ from .scp import (  # noqa: F401
 )
 from .problem import Problem  # noqa: F401
 from .dynamics import linearize, make_f_fx_fu_fn, rollout  # noqa: F401
+from .canonical import lqp_generate_problem_matrices  # noqa: F401
 
 __version__ = "0.1.0"
 

@@ -47,10 +47,15 @@ try:
 except ModuleNotFoundError:
     redis = None
 
+from .canonical import lqp_generate_problem_matrices
 from .scp import solve as solve_, scp_solve
 from .tune import tune_scp as tune_scp_
 
-SUPPORTED_METHODS: Dict[str, Callable] = dict(solve=solve_, tune_scp=tune_scp_)
+SUPPORTED_METHODS: Dict[str, Callable] = dict(
+    solve=solve_,
+    tune_scp=tune_scp_,
+    lqp_generate_problem_matrices=lqp_generate_problem_matrices,
+)
 
 DEFAULT_PORT = 65535 - 7117
 DEFAULT_HOSTNAME = "localhost"

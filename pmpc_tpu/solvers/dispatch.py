@@ -93,9 +93,11 @@ def affine_solve_np(
         )
         return np.asarray(X), np.asarray(U), data
 
-    if extra_cstrs:
-        # arbitrary cones couple variables across particles: dense cone path
-        from .extras import cone_solve_with_extras
+    Hf = settings.get("Hf", None)
+    if extra_cstrs or Hf is not None:
+        # arbitrary cones / cross-particle terminal cost couple variables
+        # across particles: dense cone path
+        from .extras import cone_solve_with_extras, terminal_cross_cost
         from .reduced import assemble_condensed as _assemble
 
         cqp = _assemble(
@@ -108,10 +110,15 @@ def affine_solve_np(
         )
         xdim = f.shape[-1]
         udim = fu.shape[-1]
+        H_extra = q_extra = None
+        if Hf is not None:
+            H_extra, q_extra = terminal_cross_cost(
+                cqp, N=N, xdim=xdim, Hf=Hf, hf=settings.get("hf", None))
         X, U, data = cone_solve_with_extras(
             cqp, N=N, udim=udim, xdim=xdim,
             u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
-            extra_cstrs=extra_cstrs, settings=settings,
+            extra_cstrs=extra_cstrs or [], settings=settings,
+            H_extra=H_extra, q_extra=q_extra,
         )
         return np.asarray(X), np.asarray(U), data
 

@@ -67,6 +67,27 @@ def _u_selector_rows(M, N, nc, nf, udim, NX):
     return nu_total, n_full
 
 
+def terminal_cross_cost(cqp: CondensedQP, N: int, xdim: int, Hf, hf=None):
+    """Dense (H, q) updates from a cross-particle terminal cost
+    0.5 xN' Hf xN + hf' xN over the stacked final states xN (M*xdim,)
+    — parity with the Hf/hf settings of ``lqp_utils.jl:105-163,192-204``."""
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    NX = cqp.g.shape[-1]
+    nz = nc + M * nf
+    Xmap, xoff = x_map(cqp)
+    # rows selecting each particle's final state
+    sel = np.zeros((M * xdim, M * NX))
+    for i in range(M):
+        sel[i * xdim:(i + 1) * xdim, i * NX + (N - 1) * xdim: i * NX + N * xdim] = np.eye(xdim)
+    S = sel @ Xmap  # (M*xdim, nz)
+    s0 = sel @ xoff
+    Hf = np.asarray(Hf, dtype=float)
+    hf = np.zeros(M * xdim) if hf is None else np.asarray(hf, dtype=float).reshape(-1)
+    H_extra = S.T @ Hf @ S
+    q_extra = S.T @ (Hf @ s0 + hf)
+    return H_extra, q_extra
+
+
 def cone_solve_with_extras(
     cqp: CondensedQP,
     N: int,
@@ -75,6 +96,8 @@ def cone_solve_with_extras(
     u_l, u_u, x_l, x_u,
     extra_cstrs: Sequence[Tuple],
     settings: Optional[Dict[str, Any]] = None,
+    H_extra: Optional[np.ndarray] = None,
+    q_extra: Optional[np.ndarray] = None,
 ):
     """Solve the condensed problem with box + arbitrary extra cone constraints.
 
@@ -90,6 +113,10 @@ def cone_solve_with_extras(
     dtype = np.asarray(cqp.qf).dtype
 
     H, q = dense_H_q(cqp)
+    if H_extra is not None:
+        H = H + H_extra
+    if q_extra is not None:
+        q = q + q_extra
     Xmap, xoff = x_map(cqp)
 
     Gl_rows: List[np.ndarray] = []

@@ -116,3 +116,44 @@ def test_scp_solve_with_soc_extra_cstrs():
     norms = np.linalg.norm(U, axis=-1)
     assert norms.max() <= umax + 1e-5
     assert norms.max() > umax - 0.05, "the cone constraint should be active"
+
+
+def test_terminal_cross_particle_cost_Hf():
+    """Hf couples final states across particles (lqp_utils.jl:105-163):
+    a strong cross-particle attraction should pull final states together."""
+    rng = np.random.default_rng(40)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 0
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+
+    def solve(Hf=None):
+        ss = {} if Hf is None else dict(Hf=Hf)
+        return affine_solve_np(
+            p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"],
+            reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+            slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+            u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc, settings=ss,
+        )
+
+    # Hf implementing w * ||xN_1 - xN_2||^2 (PSD, couples particles)
+    w = 50.0
+    I = np.eye(xdim)
+    Hf = w * np.block([[I, -I], [-I, I]])
+    X0, U0, _ = solve()
+    X1, U1, d1 = solve(Hf)
+    gap0 = np.linalg.norm(X0[0, -1] - X0[1, -1])
+    gap1 = np.linalg.norm(X1[0, -1] - X1[1, -1])
+    assert gap1 < 0.25 * gap0, (gap0, gap1)
+
+    # oracle: dense canonical QP with the Hf block at the final states
+    P, q = oracle.build_Pq(**p, reg_x=1.0, reg_u=0.1, slew_reg=np.zeros(M),
+                           slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)), Nc=Nc)
+    A, b = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"], Nc)
+    n, u_idx, x_idx = oracle.layout(N, xdim, udim, M, Nc)
+    for i in range(M):
+        for i2 in range(M):
+            P[x_idx(i, N - 1), x_idx(i2, N - 1)] += Hf[i * xdim:(i + 1) * xdim,
+                                                       i2 * xdim:(i2 + 1) * xdim]
+    z = oracle.solve_eq_kkt(P, q, A, b)
+    X_o, U_o = oracle.split_z(z, N, xdim, udim, M, Nc)
+    np.testing.assert_allclose(U1, U_o, atol=1e-5)
