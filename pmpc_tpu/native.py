@@ -1,0 +1,123 @@
+"""ctypes bindings for the native host-side runtime (libpmpc_native).
+
+Role parity with the reference's native bridge (``PMPC.jl/pmpcjl/module.cpp``
+flat f64 ABI + ``pmpc/import_pmpcjl.py`` library loading): the library is
+built on demand with ``make`` and loaded with ctypes; everything degrades
+gracefully to the pure-Python implementations when no compiler is available.
+
+Exports:
+- `build_canonical(...)` — native canonical consensus-QP assembly (same
+  output as `pmpc_tpu.canonical`), for host-side serving paths,
+- `admm_box_qp(...)` — dense ADMM box-QP solver (OSQP-role CPU fallback /
+  cross-check backend).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libpmpc_native.so")
+
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True, timeout=120)
+        return os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    f64 = ctypes.c_double
+    lib.pmpc_build_canonical.restype = i64
+    lib.pmpc_build_canonical.argtypes = [i64] * 5 + [_f64p] * 15 + [_f64p] * 4
+    lib.pmpc_admm_box_qp.restype = i64
+    lib.pmpc_admm_box_qp.argtypes = [
+        i64, i64, _f64p, _f64p, _f64p, _f64p, _f64p, _f64p,
+        f64, f64, i64, f64, _f64p, _i64p,
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def build_canonical(
+    x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
+    reg_x, reg_u, slew_reg, slew_reg0, slew_um1, Nc: int = -1,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Native canonical assembly: returns (P, q, A, b). Inputs (M, ...) f64."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    c = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    x0, f, fx, fu = c(x0), c(f), c(fx), c(fu)
+    X_prev, U_prev, Q, R, X_ref, U_ref = map(c, (X_prev, U_prev, Q, R, X_ref, U_ref))
+    M, N, xdim = f.shape
+    udim = fu.shape[-1]
+    reg_x = c(np.broadcast_to(reg_x, (M,)))
+    reg_u = c(np.broadcast_to(reg_u, (M,)))
+    slew_reg = c(np.broadcast_to(slew_reg, (M,)))
+    slew_reg0 = c(np.broadcast_to(slew_reg0, (M,)))
+    slew_um1 = c(np.broadcast_to(slew_um1, (M, udim)))
+    Ncv = N if Nc < 0 else Nc
+    n = Ncv * udim + M * (N - Ncv) * udim + M * N * xdim
+    meq = M * N * xdim
+    P = np.zeros((n, n)); q = np.zeros(n)
+    A = np.zeros((meq, n)); b = np.zeros(meq)
+    ret = lib.pmpc_build_canonical(
+        M, N, xdim, udim, Nc,
+        x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
+        reg_x, reg_u, slew_reg, slew_reg0, slew_um1,
+        P, q, A, b,
+    )
+    assert ret == 0, f"native build_canonical failed ({ret})"
+    return P, q, A, b
+
+
+def admm_box_qp(
+    P, q, A, b, lo, hi,
+    rho: float = 1.0, sigma: float = 1e-6,
+    max_iter: int = 4000, eps: float = 1e-9,
+) -> Tuple[np.ndarray, int, int]:
+    """Native dense ADMM box QP. Returns (z, status, iters)."""
+    lib = load()
+    assert lib is not None, "native library unavailable"
+    c = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    P, q, A, b, lo, hi = map(c, (P, q, A, b, lo, hi))
+    n, meq = P.shape[0], A.shape[0]
+    z = np.zeros(n)
+    iters = ctypes.c_int64(0)
+    status = lib.pmpc_admm_box_qp(
+        n, meq, P, q, A, b, lo, hi,
+        float(rho), float(sigma), int(max_iter), float(eps),
+        z, ctypes.byref(iters),
+    )
+    return z, int(status), int(iters.value)

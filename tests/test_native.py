@@ -1,0 +1,59 @@
+"""Native C++ runtime: canonical assembly + ADMM solver vs python oracles."""
+
+import numpy as np
+import pytest
+
+from pmpc_tpu import native
+
+import oracle
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def test_native_canonical_matches_python():
+    rng = np.random.default_rng(60)
+    M, N, xdim, udim, Nc = 2, 5, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    P, q, A, b = native.build_canonical(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=1.0, reg_u=0.1, slew_reg=0.3, slew_reg0=0.2,
+        slew_um1=np.ones((M, udim)), Nc=Nc,
+    )
+    P_o, q_o = oracle.build_Pq(**p, reg_x=1.0, reg_u=0.1,
+                               slew_reg=np.full(M, 0.3), slew_reg0=np.full(M, 0.2),
+                               slew_um1=np.ones((M, udim)), Nc=Nc)
+    A_o, b_o = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"],
+                               p["X_prev"], p["U_prev"], Nc)
+    np.testing.assert_allclose(P, P_o, atol=1e-12)
+    np.testing.assert_allclose(q, q_o, atol=1e-12)
+    np.testing.assert_allclose(A, A_o, atol=1e-12)
+    np.testing.assert_allclose(b, b_o, atol=1e-12)
+
+
+def test_native_admm_solves_box_qp():
+    rng = np.random.default_rng(61)
+    M, N, xdim, udim, Nc = 1, 6, 3, 2, 0
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    P, q, A, b = native.build_canonical(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=1.0, reg_u=0.1, slew_reg=0.0, slew_reg0=0.0,
+        slew_um1=np.zeros((M, udim)), Nc=Nc,
+    )
+    n = P.shape[0]
+    lo, hi = oracle.bounds_vectors(
+        None, None, np.full((M, N, udim), -0.5), np.full((M, N, udim), 0.5),
+        N, xdim, udim, M, Nc)
+    z, status, iters = native.admm_box_qp(P, q, A, b,
+                                          np.clip(lo, -1e20, 1e20),
+                                          np.clip(hi, -1e20, 1e20),
+                                          max_iter=20000, eps=1e-11)
+    assert status == 0, (status, iters)
+    z_o = oracle.solve_box_qp(P, q, A, b, lo, hi)
+    X, U = oracle.split_z(z, N, xdim, udim, M, Nc)
+    X_o, U_o = oracle.split_z(z_o, N, xdim, udim, M, Nc)
+    # first-order ADMM accuracy (OSQP-role backend): moderate tolerance
+    np.testing.assert_allclose(U, U_o, atol=5e-4)
+    np.testing.assert_allclose(X, X_o, atol=5e-4)
