@@ -27,11 +27,35 @@ def use_inverse_factor(n: int) -> bool:
     return 0 < n <= 160
 
 
+def _use_pallas_factor(A) -> bool:
+    """Use the fused Pallas kernel (near-free vs 47ms XLA / 14ms blocked for
+    (8192,50,50) f32) when on a real TPU backend with f32 data."""
+    if os.environ.get("PMPC_TPU_PALLAS", "1") != "1":
+        return False
+    if A.dtype != jnp.float32:
+        return False
+    n = A.shape[-1]
+    if not (0 < n <= 128) or A.ndim < 2:
+        return False
+    try:
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
 def spd_factor(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     """Factor a (batched) SPD matrix for `spd_apply`. Representation (inverse
     Cholesky factor vs Cholesky factor) is a static function of the size, so
     factor/apply pairs always agree."""
     n = A.shape[-1]
+    if _use_pallas_factor(A):
+        from .pallas_chol import pallas_inv_cholesky
+
+        lead = A.shape[:-2]
+        Minv = pallas_inv_cholesky(A.reshape((-1, n, n)), jitter=jitter)
+        return Minv.reshape(lead + (n, n))
     if use_inverse_factor(n):
         return inv_cholesky(A, jitter=jitter)
     return cholesky_factor(A, jitter=jitter)
@@ -40,7 +64,7 @@ def spd_factor(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
 def spd_apply(F: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b given F = spd_factor(A)."""
     n = F.shape[-1]
-    if use_inverse_factor(n):
+    if _use_pallas_factor(F) or use_inverse_factor(n):
         return inv_chol_apply(F, b)
     return cholesky_solve(F, b)
 
