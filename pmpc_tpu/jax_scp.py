@@ -181,10 +181,14 @@ def build_scp_solver(
             jnp.max(jnp.linalg.norm(dX, axis=-1)), jnp.max(jnp.linalg.norm(dU, axis=-1))
         )
         now_done = new_resid < res_tol
+        # non-finite subproblem solution: fall back to the previous iterate
+        # (per-iteration NaN guard of the reference GPU path, jax_solver.py:151-154)
+        bad = ~jnp.isfinite(new_resid)
 
-        X_out = jnp.where(done, X_prev, X)
-        U_out = jnp.where(done, U_prev, U)
-        resid_out = jnp.where(done, resid, new_resid)
+        freeze = done | bad
+        X_out = jnp.where(freeze, X_prev, X)
+        U_out = jnp.where(freeze, U_prev, U)
+        resid_out = jnp.where(freeze, resid, new_resid)
         it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
         return (X_out, U_out, it_out, done | now_done, resid_out), None
 

@@ -37,10 +37,11 @@ def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, S, L):
             S[j, j, :] = S[j, j, :] + jitter
 
     # column (outer-product) Cholesky, batch on lanes
-    row_ge = [None] * n
     for j in range(n):
-        d = jax.lax.rsqrt(jnp.maximum(S[j, j, :], 1e-30))  # (TB,)
-        col = S[:, j, :] * d[None, :]  # (n, TB)
+        # exact sqrt + divide (lax.rsqrt is an approximate VPU op on TPU and
+        # measurably degrades the factor)
+        d = jnp.sqrt(jnp.maximum(S[j, j, :], 1e-30))  # (TB,)
+        col = S[:, j, :] / d[None, :]  # (n, TB)
         mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
         col = jnp.where(mask, col, 0.0)
         L[:, j, :] = col

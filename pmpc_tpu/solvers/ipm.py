@@ -35,6 +35,7 @@ from jax import lax
 from ..utils import with_matmul_precision
 from .reduced import (
     CondensedQP,
+    H_apply_factored,
     arrow_apply,
     arrow_factor,
     assemble_condensed,
@@ -153,11 +154,21 @@ def ipm_core(
                       jnp.asarray(0, dtype=jnp.int32))
 
     def grad_lagrangian(uc, uf, lam):
-        """(gc, gf) = Hz + q + G'lam."""
+        """(gc, gf) = Hz + q + G'lam.
+
+        Hz uses the FACTORED form when available (condensation squares the
+        conditioning; factored residuals keep f32 gradients accurate, and
+        inexact-Newton with accurate residuals converges to the accurate
+        KKT point)."""
         clo, chi, flo, fhi, xlo, xhi = lam
-        gc = cqp.Hcc @ uc + jnp.einsum("mij,mj->i", cqp.Hcf, uf) + cqp.qc
-        gf = jnp.einsum("mji,mj->mi", cqp.Hcf, jnp.broadcast_to(uc, (M, nc))) \
-            + jnp.einsum("mij,mj->mi", cqp.Hff, uf) + cqp.qf
+        if cqp.Qt is not None:
+            Hc, Hf = H_apply_factored(cqp, uc, uf)
+            gc = Hc + cqp.qc
+            gf = Hf + cqp.qf
+        else:
+            gc = cqp.Hcc @ uc + jnp.einsum("mij,mj->i", cqp.Hcf, uf) + cqp.qc
+            gf = jnp.einsum("mji,mj->mi", cqp.Hcf, jnp.broadcast_to(uc, (M, nc))) \
+                + jnp.einsum("mij,mj->mi", cqp.Hff, uf) + cqp.qf
         if has_u:
             gc = gc + (chi - clo)
             gf = gf + (fhi - flo)
@@ -177,7 +188,11 @@ def ipm_core(
         r_p = tuple(jnp.where(m, si - sv, 0.0) for m, si, sv in zip(masks, s, s_vals))
         gc, gf = grad_lagrangian(uc, uf, lam)
 
-        w = tuple(jnp.where(m, l / si, 0.0) for m, l, si in zip(masks, lam, s))
+        # cap the scaling ratios: uncapped lam/s overflows f32 Cholesky late in
+        # the solve (equivalent to a tiny regularization of active constraints)
+        w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
+        w = tuple(jnp.where(m, jnp.minimum(l / si, w_max), 0.0)
+                  for m, l, si in zip(masks, lam, s))
         clo_w, chi_w, flo_w, fhi_w, xlo_w, xhi_w = w
 
         # -- Newton matrix (keeps arrow structure) -------------------------------
@@ -274,6 +289,12 @@ def ipm_core(
             jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, dtype),
             jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, dtype),
         )
+        # any non-finite value in the step: freeze to the PREVIOUS iterate
+        # (checked before the state write so NaN never escapes the loop)
+        step_bad = ~(jnp.isfinite(mu_n)
+                     & jnp.isfinite(jnp.sum(uc_n) if uc_n.size else jnp.asarray(0.0, dtype))
+                     & jnp.isfinite(jnp.sum(uf_n)))
+
         mu_ok = mu_n < jnp.maximum(tol, mu_target * 1.05)
         # with a central-path target, also require the products s*lam to be
         # CENTERED at mu_target (that is what makes the point the solution of
@@ -286,17 +307,22 @@ def ipm_core(
         centered = (mu_target <= 0) | (center_err < 0.02 * mu_target + tol)
         now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)
         # divergence (e.g. infeasible problem): freeze before inf/nan poison
-        now_bad = ~jnp.isfinite(mu_n) | (mu_n > 1e12)
+        now_bad = step_bad | (mu_n > 1e12)
 
+        # frozen when already done OR when this very step went bad — the bad
+        # step's values must never be written
+        frozen = done | now_bad
         keep = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(done, b, a), new, old)
+            lambda a, b: jnp.where(frozen, b, a), new, old)
         new_state = IPMState(
-            uc_n, uf_n, s_n, lam_n, mu_n, done | now_done | now_bad,
+            uc_n, uf_n, s_n, lam_n, mu_n, jnp.asarray(False),
             ok | now_done,
-            it_count + jnp.where(done, 0, 1).astype(jnp.int32),
+            it_count + 1,
         )
-        old_state = IPMState(uc, uf, s, lam, mu, done, ok, it_count)
-        return keep(new_state, old_state)
+        old_state = IPMState(uc, uf, s, lam, mu, jnp.asarray(False), ok, it_count)
+        merged = keep(new_state, old_state)
+        return merged._replace(done=done | now_done | now_bad,
+                               ok=ok | now_done)
 
     # while_loop instead of a fixed fori: under vmap the loop stops as soon as
     # EVERY problem in the batch has converged (or diverged) — converged lanes

@@ -39,7 +39,13 @@ from ..utils import with_matmul_precision
 
 class CondensedQP(NamedTuple):
     """A single joint (M-particle) condensed QP. Shapes: nc=Nc*udim, nf=(N-Nc)*udim,
-    NU=N*udim, NX=N*xdim."""
+    NU=N*udim, NX=N*xdim.
+
+    The factored pieces (Qt/Rt/slew) are kept alongside the explicit Hessian
+    blocks: the explicit H has condition ~kappa(Ft)^2, so float32 residuals
+    computed as H w + q carry O(kappa^2 eps) error, while the factored form
+    Ft'(Qt(Ft w)) + Rt w + slew terms stays at O(kappa eps) — inexact-Newton
+    steps with factored residuals converge to the accurate solution."""
 
     Hcc: jax.Array  # (nc, nc)   consensus block (summed over particles)
     Hcf: jax.Array  # (M, nc, nf) consensus-to-free coupling
@@ -49,6 +55,10 @@ class CondensedQP(NamedTuple):
     Ft: jax.Array  # (M, NX, NU) condensed dynamics sensitivity
     g: jax.Array  # (M, NX)     x = Ft @ w + g  (w = vec(U))
     w_prev: jax.Array  # (M, NU)
+    Qt: Optional[jax.Array] = None  # (M, N, xdim, xdim) state Hessian blocks
+    Rt: Optional[jax.Array] = None  # (M, N, udim, udim) control Hessian blocks
+    sl_reg: Optional[jax.Array] = None  # (M,) slew coupling weight
+    sl_reg0: Optional[jax.Array] = None  # (M,) first-control slew weight
 
     @property
     def M(self) -> int:
@@ -187,7 +197,39 @@ def assemble_condensed(
     qc = jnp.sum(q[:, :nc], axis=0)
     qf = q[:, nc:]
     w_prev = U_prev.reshape(M, -1)
-    return CondensedQP(Hcc, Hcf, Hff, qc, qf, Ft, g, w_prev)
+    xdim = f.shape[-1]
+    eye_x = jnp.eye(xdim, dtype=f.dtype)
+    eye_u = jnp.eye(udim, dtype=f.dtype)
+    Qt = Q + reg_x[:, None, None, None] * eye_x
+    Rt = R + reg_u[:, None, None, None] * eye_u
+    return CondensedQP(Hcc, Hcf, Hff, qc, qf, Ft, g, w_prev,
+                       Qt=Qt, Rt=Rt, sl_reg=slew_reg, sl_reg0=slew_reg0)
+
+
+def H_apply_factored(cqp: CondensedQP, uc: jax.Array, uf: jax.Array):
+    """(H z)_c, (H z)_f computed in FACTORED form: Ft'(Qt(Ft w)) + Rt w + slew.
+
+    Error O(kappa(Ft) eps) instead of O(kappa(Ft)^2 eps) for the explicit-H
+    product — the float32 accuracy backbone (see CondensedQP docstring)."""
+    M, nc = cqp.M, cqp.nc
+    N = cqp.Qt.shape[1]
+    xdim = cqp.Qt.shape[-1]
+    udim = cqp.Rt.shape[-1]
+    w = jnp.concatenate([jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)  # (M, NU)
+    Ftw = jnp.einsum("mij,mj->mi", cqp.Ft, w)  # (M, NX)
+    QFtw = jnp.einsum("mnij,mnj->mni", cqp.Qt, Ftw.reshape(M, N, xdim)).reshape(M, -1)
+    Hw = jnp.einsum("mji,mj->mi", cqp.Ft, QFtw)  # (M, NU)
+    U = w.reshape(M, N, udim)
+    Hw = Hw + jnp.einsum("mnij,mnj->mni", cqp.Rt, U).reshape(M, -1)
+    # slew coupling: sl_reg * (T kron I) w + sl_reg0 on the first block
+    d = U[:, 1:] - U[:, :-1]  # (M, N-1, udim)
+    Sw = jnp.zeros_like(U)
+    Sw = Sw.at[:, :-1].add(-d).at[:, 1:].add(d)
+    Hw = Hw + cqp.sl_reg[:, None] * Sw.reshape(M, -1)
+    Hw = Hw.at[:, :udim].add(cqp.sl_reg0[:, None] * U[:, 0])
+    Hw_c = jnp.sum(Hw[:, :nc], axis=0)
+    Hw_f = Hw[:, nc:]
+    return Hw_c, Hw_f
 
 
 class ArrowFactors(NamedTuple):
@@ -246,11 +288,23 @@ def solve_arrow(Hcc, Hcf, Hff, qc, qf, jitter: float = 0.0):
     return arrow_apply(F, -qc, -qf)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("refine",))
 @with_matmul_precision("highest")
-def solve_eq(cqp: CondensedQP):
-    """Solve the unconstrained condensed QP. Returns (uc, uf)."""
-    return solve_arrow(cqp.Hcc, cqp.Hcf, cqp.Hff, cqp.qc, cqp.qf)
+def solve_eq(cqp: CondensedQP, refine: int = 2):
+    """Solve the unconstrained condensed QP. Returns (uc, uf).
+
+    ``refine`` rounds of iterative refinement with FACTORED-form residuals
+    recover O(kappa(Ft) eps) accuracy from the O(kappa^2 eps) explicit-H
+    factorization (essential in float32)."""
+    F = arrow_factor(cqp.Hcc, cqp.Hcf, cqp.Hff)
+    uc, uf = arrow_apply(F, -cqp.qc, -cqp.qf)
+    if cqp.Qt is not None:
+        for _ in range(refine):
+            Hc, Hf = H_apply_factored(cqp, uc, uf)
+            rc, rf = -(cqp.qc + Hc), -(cqp.qf + Hf)
+            duc, duf = arrow_apply(F, rc, rf)
+            uc, uf = uc + duc, uf + duf
+    return uc, uf
 
 
 def z_to_w(uc: jax.Array, uf: jax.Array, M: int) -> jax.Array:

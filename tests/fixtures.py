@@ -15,25 +15,46 @@ from pmpc_tpu.dynamics import make_f_fx_fu_fn
 
 
 def unicycle_step(x, u, p=(1.0, 1.0, 0.3)):
-    """Closed-form unicycle step. x=(px,py,v,th), u=(accel, turn), p=(v_scale,w_scale,T)."""
+    """Closed-form unicycle step. x=(px,py,v,th), u=(accel, turn), p=(v_scale,w_scale,T).
+
+    Numerically stable at small turn rates: the exact integrals are expressed
+    through C1 = int cos(th+h s) ds and C2 = int s cos(th+h s) ds (and sine
+    analogues) with a Taylor switch at small |h| — no 1/w^2 cancellation, so
+    Jacobians stay accurate in float32 (the reference fixture's eps-shift
+    trick, tests/dubins_car.py:62-64, is catastrophically noisy in f32)."""
     v_scale, w_scale, T = p
-    eps = 1e-6
     a = v_scale * u[..., 0]
     w = w_scale * -u[..., 1]
-    # keep |a|,|w| away from 0 so the closed form stays well-defined
-    a = a + jnp.where(a >= 0.0, eps, -eps)
-    w = w + jnp.where(w >= 0.0, eps, -eps)
     px, py, v, th = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
-    thT = th + T * w
-    # integrate v(t) cos(th + w t) and v(t) sin(th + w t) for v(t) = v + a t
-    px_new = px + (v / w) * (jnp.sin(thT) - jnp.sin(th)) + (a / w**2) * (
-        jnp.cos(thT) - jnp.cos(th)
-    ) + (a * T / w) * jnp.sin(thT)
-    py_new = py - (v / w) * (jnp.cos(thT) - jnp.cos(th)) + (a / w**2) * (
-        jnp.sin(thT) - jnp.sin(th)
-    ) - (a * T / w) * jnp.cos(thT)
+    h = T * w  # total turn over the step
+
+    small = jnp.abs(h) < 0.1
+    hs = jnp.where(small, 1.0, h)  # safe denominator for the exact branch
+    h2 = h * h
+    h3 = h2 * h
+    sin_th, cos_th = jnp.sin(th), jnp.cos(th)
+    sin_thh, cos_thh = jnp.sin(th + h), jnp.cos(th + h)
+
+    # C1 = (sin(th+h) - sin(th))/h,  S1 = -(cos(th+h) - cos(th))/h
+    C1_exact = (sin_thh - sin_th) / hs
+    S1_exact = -(cos_thh - cos_th) / hs
+    C1_taylor = cos_th - 0.5 * h * sin_th - (h2 / 6.0) * cos_th + (h3 / 24.0) * sin_th
+    S1_taylor = sin_th + 0.5 * h * cos_th - (h2 / 6.0) * sin_th - (h3 / 24.0) * cos_th
+    C1 = jnp.where(small, C1_taylor, C1_exact)
+    S1 = jnp.where(small, S1_taylor, S1_exact)
+
+    # C2 = int_0^1 s cos(th + h s) ds, S2 = int_0^1 s sin(th + h s) ds
+    C2_exact = (h * sin_thh + cos_thh - cos_th) / (hs * hs)
+    S2_exact = (-h * cos_thh + sin_thh - sin_th) / (hs * hs)
+    C2_taylor = 0.5 * cos_th - (h / 3.0) * sin_th - (h2 / 8.0) * cos_th + (h3 / 30.0) * sin_th
+    S2_taylor = 0.5 * sin_th + (h / 3.0) * cos_th - (h2 / 8.0) * sin_th - (h3 / 30.0) * cos_th
+    C2 = jnp.where(small, C2_taylor, C2_exact)
+    S2 = jnp.where(small, S2_taylor, S2_exact)
+
+    px_new = px + T * v * C1 + T * T * a * C2
+    py_new = py + T * v * S1 + T * T * a * S2
     v_new = v + T * a
-    th_new = thT
+    th_new = th + h
     return jnp.stack([px_new, py_new, v_new, th_new], axis=-1)
 
 
