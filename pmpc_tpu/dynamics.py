@@ -146,6 +146,23 @@ def make_f_fx_fu_fn(dynamics: Callable) -> Callable:
     return f_fx_fu_fn
 
 
+def shorten_horizon(N_new: int, *arrays):
+    """Slice problem arrays to a shorter horizon (parity with
+    ``PMPC.jl/src/types.jl:203-237``): each array keeps its first ``N_new``
+    entries along the horizon axis, which is assumed to be axis -2 for
+    (..., N, d) arrays and axis -3 for (..., N, d, d) matrix stacks."""
+    out = []
+    for a in arrays:
+        if a is None:
+            out.append(None)
+            continue
+        if a.ndim >= 3 and a.shape[-1] == a.shape[-2]:
+            out.append(a[..., :N_new, :, :])
+        else:
+            out.append(a[..., :N_new, :])
+    return out
+
+
 def dynamics_violation(x0, f, fx, fu, X_prev, U_prev, X, U):
     """Per-step linearized dynamics violation norms; parity with
     ``PMPC.jl/src/types.jl:348-364``. Returns (total, per-step)."""

@@ -152,6 +152,74 @@ def barrier_core(
     return uc, uf, dict(obj=fval)
 
 
+@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters"))
+@with_matmul_precision("highest")
+def lbfgs_core(
+    cqp: CondensedQP,
+    bounds: BoxBounds,
+    method: str,
+    alpha,
+    beta,
+    has_u: bool,
+    has_x: bool,
+    iters: int = 100,
+):
+    """L-BFGS on the smoothed objective (optax), role parity with the reference
+    experimental solvers BFGS/LBFGS (``solver_definitions.py:25-28,137-145``).
+    Slower than the Newton path; kept for API compatibility
+    (``solver_settings={"solver": "LBFGS"}`` on the smooth path)."""
+    import optax
+
+    dtype = cqp.qf.dtype
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    alpha = jnp.asarray(alpha, dtype=dtype)
+    beta = jnp.asarray(beta, dtype=dtype)
+
+    masks = (
+        jnp.isfinite(bounds.lo_c), jnp.isfinite(bounds.hi_c),
+        jnp.isfinite(bounds.lo_f), jnp.isfinite(bounds.hi_f),
+        jnp.isfinite(bounds.lo_x), jnp.isfinite(bounds.hi_x),
+    )
+
+    def violations(uc, uf):
+        x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
+            [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
+        return (
+            bounds.lo_c - uc, uc - bounds.hi_c,
+            bounds.lo_f - uf, uf - bounds.hi_f,
+            bounds.lo_x - x, x - bounds.hi_x,
+        )
+
+    def objective(params):
+        uc, uf = params
+        quad = 0.5 * uc @ (cqp.Hcc @ uc) + cqp.qc @ uc
+        quad += jnp.sum(uf * jnp.einsum("mij,mj->mi", cqp.Hff, uf)) * 0.5
+        quad += jnp.sum(jnp.einsum("mij,mj->mi", cqp.Hcf, uf) * uc)
+        quad += jnp.sum(cqp.qf * uf)
+        pen = sum(
+            jnp.sum(jnp.where(m, _phi(method, jnp.where(m, y, -1.0), alpha, beta)[0], 0.0))
+            for m, y in zip(masks, violations(uc, uf))
+        )
+        return quad + pen
+
+    opt = optax.lbfgs()
+    params = (jnp.mean(cqp.w_prev[:, :nc], axis=0), cqp.w_prev[:, nc:])
+    state = opt.init(params)
+    value_and_grad = optax.value_and_grad_from_state(objective)
+
+    def step(carry, _):
+        params, state = carry
+        value, grad = value_and_grad(params, state=state)
+        updates, state = opt.update(grad, state, params,
+                                    value=value, grad=grad, value_fn=objective)
+        params = optax.apply_updates(params, updates)
+        return (params, state), None
+
+    (params, state), _ = lax.scan(step, (params, state), None, length=iters)
+    uc, uf = params
+    return uc, uf, dict(obj=objective(params))
+
+
 def barrier_solve_np(
     base_args, reg_args, u_l, u_u, x_l, x_u,
     Nc: int,
@@ -174,6 +242,16 @@ def barrier_solve_np(
     bounds = _layout_bounds(u_l, u_u, x_l, x_u, M, N, N * xdim, nc, nf, udim, dtype)
     has_u = u_l is not None or u_u is not None
     has_x = x_l is not None or x_u is not None
+
+    if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
+        uc, uf, stats = lbfgs_core(
+            cqp, bounds, method=method, alpha=alpha, beta=beta,
+            has_u=has_u, has_x=has_x,
+            iters=int(settings.get("max_it", 100)),
+        )
+        X, U = recover_XU(cqp, uc, uf, N=N)
+        return (np.asarray(X), np.asarray(U),
+                dict(solver_state=settings.get("solver_state"), obj=float(stats["obj"])))
 
     kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
     # warm start from the exact box-QP solution: the smoothed optimum is a

@@ -140,11 +140,21 @@ def affine_solve_np(
         return np.asarray(X), np.asarray(U), data
 
     if smooth_cstr == "logbarrier":
+        alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)
+        if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
+            # experimental-stack parity: first-order solve of the smoothed
+            # objective (solver_definitions.py BFGS/LBFGS)
+            from .barrier import barrier_solve_np
+
+            return barrier_solve_np(
+                base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
+                method="logbarrier", alpha=alpha,
+                beta=float(settings.get("smooth_beta", 1.0)), settings=settings,
+            )
         # the logbarrier-smoothed problem's solution is the central-path point
         # at mu = 1/alpha of the same box QP: reuse the IPM with a mu floor
         from .ipm import ipm_solve_np
 
-        alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)
         return ipm_solve_np(
             base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
             settings=dict(settings, mu_target=1.0 / alpha),

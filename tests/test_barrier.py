@@ -103,3 +103,16 @@ def test_smooth_alpha_nan_sentinel_means_exact():
     p = oracle.random_problem(rng, M=1, N=6, xdim=3, udim=2)
     X1, U1, d1 = _solve(p, settings=dict(smooth_alpha=float("nan")))
     assert "ipm_converged" in d1
+
+
+def test_lbfgs_smooth_solver_option():
+    """solver_settings solver="LBFGS" (experimental-stack parity) approximates
+    the central-path solution of the same smoothed problem."""
+    rng = np.random.default_rng(15)
+    p = oracle.random_problem(rng, M=2, N=8, xdim=3, udim=2)
+    p = dict(p, U_prev=np.clip(p["U_prev"], -0.4, 0.4))
+    X_ipm, U_ipm, _ = _solve(p, settings=dict(smooth_cstr="logbarrier", smooth_alpha=50.0))
+    X_lb, U_lb, d = _solve(p, settings=dict(smooth_cstr="logbarrier", smooth_alpha=50.0,
+                                            solver="LBFGS", max_it=400))
+    assert np.isfinite(U_lb).all()
+    assert np.abs(U_lb - U_ipm).max() < 5e-3, np.abs(U_lb - U_ipm).max()

@@ -95,3 +95,55 @@ def test_tune_scp_picks_a_reg():
         f_fn, Q, R, np.ones(xdim), sample_nb=3, reg_rng=(-1, 1), max_it=5,
     )
     assert reg_x > 0 and np.isclose(reg_u, 0.1 * reg_x)
+
+
+def test_shorten_horizon():
+    from pmpc_tpu.dynamics import shorten_horizon
+
+    N, xdim, udim = 10, 3, 2
+    f = np.zeros((N, xdim))
+    fx = np.zeros((N, xdim, xdim))
+    Q = np.zeros((5, N, xdim, xdim))
+    U = np.zeros((N, udim))
+    f2, fx2, Q2, U2 = shorten_horizon(6, f, fx, Q, U)
+    assert f2.shape == (6, xdim) and fx2.shape == (6, xdim, xdim)
+    assert Q2.shape == (5, 6, xdim, xdim) and U2.shape == (6, udim)
+
+
+def test_remote_farm_scheduler():
+    """Greedy batch scheduler over a localhost worker (remote.py parity)."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    import pmpc_tpu.remote as remote
+    from fixtures import double_integrator_f_fx_fu_fn
+
+    PORT = 58431
+    env = dict(os.environ)
+    env["PMPC_TPU_NO_CACHE"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "pmpc_tpu.remote", "--port", str(PORT),
+         "--worker-num", "1", "--no-warmup"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    try:
+        _time.sleep(3.0)
+        f_fn = double_integrator_f_fx_fu_fn()
+        rng = np.random.default_rng(0)
+        problems = [dict(
+            f_fx_fu_fn=f_fn,
+            Q=np.tile(np.eye(2), (8, 1, 1)),
+            R=np.tile(0.1 * np.eye(1), (8, 1, 1)),
+            x0=rng.normal(size=2), max_it=4, verbose=False,
+        ) for _ in range(3)]
+        rets = remote.solve_problems(problems, workers=[("localhost", PORT)],
+                                     max_solve_time=60.0)
+        assert len(rets) == 3
+        for (X, U, data) in rets:
+            assert X.shape == (9, 2)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
