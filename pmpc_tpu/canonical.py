@@ -13,7 +13,7 @@ row/column order) match; callers doing their own solving can sparsify.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

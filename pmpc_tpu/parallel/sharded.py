@@ -13,7 +13,7 @@ playbook applied to consensus MPC.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -24,13 +24,13 @@ the squareplus/logbarrier reformulations.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.linalg import cholesky_factor, cholesky_solve
+from ..ops.linalg import cholesky_factor, cholesky_solve, spd_apply, spd_factor
 from ..utils import with_matmul_precision
 
 
@@ -60,7 +60,7 @@ def _soc_W(s, z):
     det_z = jnp.maximum(det_z, 1e-30)
     sbar = s / jnp.sqrt(det_s)
     zbar = z / jnp.sqrt(det_z)
-    gamma = jnp.sqrt((1.0 + sbar @ zbar) / 2.0)
+    gamma = jnp.sqrt(jnp.maximum((1.0 + sbar @ zbar) / 2.0, 1e-12))
     wbar = (sbar + Jdiag * zbar) / (2.0 * gamma)  # normalized NT point, det=1
     beta = (det_s / det_z) ** 0.25
     # NT point w = beta * wbar has quadratic representation P(w) = W^2:
@@ -68,7 +68,7 @@ def _soc_W(s, z):
     # The scaling itself is W = P(sqrt_J(w)) (Jordan square root), which is the
     # symmetric PSD square root of P(w) and satisfies W z = W^{-1} s = lam.
     w = beta * wbar
-    y0 = jnp.sqrt((w[0] + beta) / 2.0)  # sqrt_J(w): y0^2+|y1|^2=w0, 2 y0 y1=w1
+    y0 = jnp.sqrt(jnp.maximum((w[0] + beta) / 2.0, 1e-20))  # sqrt_J(w)
     y1 = w[1:] / (2.0 * y0)
     y = jnp.concatenate([y0[None], y1])
     Jmat = jnp.diag(Jdiag)
@@ -161,20 +161,26 @@ def cone_qp_solve(
     v0, sl0, zl0, sq0, zq0 = init()
 
     def body(k, carry):
-        v, sl, zl, sq, zq, done, ok, mu_prev, nsteps = carry
+        v, sl, zl, sq, zq, done, ok, mu_prev, nsteps, badc = carry
         # residuals
         r_d = prob.P @ v + prob.q + prob.Gl.T @ zl + jnp.einsum("cpv,cp->v", prob.Gq, zq)
         r_pl = prob.Gl @ v + sl - prob.hl
         r_pq = jnp.einsum("cpv,v->cp", prob.Gq, v) + sq - prob.hq
 
         # scalings
-        wl2 = zl / sl  # (ml,)
+        # capped ratios keep K finite/PD-ish in float32 near the boundary
+        wl_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
+        wl2 = jnp.minimum(zl / sl, wl_max)  # (ml,)
         Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
         mu = (jnp.sum(sl * zl) + jnp.sum(sq * zq)) / nu
 
         K = prob.P + (prob.Gl.T * wl2) @ prob.Gl \
             + jnp.einsum("cpv,cpr,crw->vw", prob.Gq, Wq2inv, prob.Gq)
-        L = cholesky_factor(K, jitter=kappa)
+        # breakdown retries boost the regularization (badc grows on bad steps)
+        diag_scale = jnp.mean(jnp.diagonal(K)) + 1.0
+        boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-4, dtype) * diag_scale
+        K = K + boost * jnp.eye(nv, dtype=dtype)
+        L = spd_factor(K, jitter=kappa)
 
         def winv_lam_dc(Wi, lam, dc):
             """W^{-1} (lam^{-1} o d_c)."""
@@ -191,7 +197,7 @@ def cone_qp_solve(
                     + jnp.einsum("cpv,cp->v", prob.Gq,
                                  jnp.einsum("cpr,cr->cp", Wq2inv, r_pq)
                                  - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)))
-            dv = cholesky_solve(L, rhs)
+            dv = spd_apply(L, rhs)
             Gdv_l = prob.Gl @ dv
             Gdv_q = jnp.einsum("cpv,v->cp", prob.Gq, dv)
             dsl = -r_pl - Gdv_l
@@ -257,18 +263,29 @@ def cone_qp_solve(
         )
         rd_inf = jnp.max(jnp.abs(r_d))
         now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (rd_inf < 1e3 * tol)
-        now_bad = ~jnp.isfinite(mu_n) | (mu_n > 1e12)
+        # a non-finite/exploding step keeps the PREVIOUS iterate (checked
+        # before the state write so NaN never escapes) and bumps the retry
+        # counter — the next iteration re-solves with boosted regularization;
+        # only repeated breakdowns give up
+        step_bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(jnp.sum(v_n))) \
+            | (mu_n > jnp.maximum(1e4 * mu_prev, 1e12))
 
-        sel = lambda a_, b_: jnp.where(done, b_, a_)
-        new = (v_n, sl_n, zl_n, sq_n, zq_n,
-               done | now_done | now_bad, ok | now_done, mu_n,
-               nsteps + jnp.where(done, 0, 1).astype(jnp.int32))
-        old = (v, sl, zl, sq, zq, done, ok, mu_prev, nsteps)
-        return jax.tree.map(sel, new, old)
+        frozen = done | step_bad
+        sel = lambda a_, b_: jnp.where(frozen, b_, a_)
+        new = (v_n, sl_n, zl_n, sq_n, zq_n)
+        old = (v, sl, zl, sq, zq)
+        v_o, sl_o, zl_o, sq_o, zq_o = jax.tree.map(sel, new, old)
+        mu_o = jnp.where(frozen, mu_prev, mu_n)
+        steps_o = nsteps + jnp.where(done, 0, 1).astype(jnp.int32)
+        badc_o = jnp.where(done, badc, jnp.where(step_bad, badc + 1, 0))
+        give_up = badc_o >= 4
+        return (v_o, sl_o, zl_o, sq_o, zq_o,
+                done | now_done | give_up, ok | now_done, mu_o, steps_o, badc_o)
 
     carry0 = (v0, sl0, zl0, sq0, zq0,
               jnp.asarray(ml + ncones == 0), jnp.asarray(ml + ncones == 0),
-              jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32))
-    v, sl, zl, sq, zq, done, ok, mu, nsteps = lax.fori_loop(0, iters, body, carry0)
+              jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
+              jnp.asarray(0, jnp.int32))
+    v, sl, zl, sq, zq, done, ok, mu, nsteps, _ = lax.fori_loop(0, iters, body, carry0)
     stats = dict(mu=mu, iters=nsteps, converged=ok)
     return v, (sl, sq), (zl, zq), stats

@@ -21,13 +21,13 @@ J_i includes its constant term, evaluated at U = 0.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from .coneipm import ConeLP, cone_qp_solve
-from .extras import dense_H_q, x_map
+from .extras import x_map
 from .reduced import CondensedQP
 
 COST_ANCHOR_EPS = 1e-3
@@ -76,9 +76,13 @@ def cvar_solve(
     # variable layout: v = [z (nz); y (M); t (1)]
     nv = nz + M + 1
     P = np.zeros((nv, nv))
+    # objective normalized by the particle-cost scale so the IPM's duality
+    # measure is a RELATIVE gap (otherwise float32 cannot reach an absolute
+    # tolerance on problems with large cost constants)
+    sigma = max(1.0, float(np.mean(np.abs(c_per))))
     c_obj = np.zeros(nv)
-    c_obj[nz:nz + M] = 1.0 + eps
-    c_obj[nz + M] = (1.0 - eps) * k
+    c_obj[nz:nz + M] = (1.0 + eps) / sigma
+    c_obj[nz + M] = (1.0 - eps) * k / sigma
 
     Xmap, xoff = x_map(cqp)
 
@@ -89,7 +93,6 @@ def cvar_solve(
     Gl_rows.append(Gy)
     hl_rows.append(np.zeros(M))
 
-    eye_z = np.eye(nz)
     if u_l is not None and u_u is not None:
         ul = np.asarray(u_l).reshape(M, N * udim)
         uu = np.asarray(u_u).reshape(M, N * udim)
@@ -158,8 +161,9 @@ def cvar_solve(
         qmask=jnp.asarray(qmask),
     )
     iters = int(settings.get("ipm_iters", 50))
-    tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
-    kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-7))
+    # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap
+    tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -3))
+    kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-6))
     v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp, kappa=kappa)
 
     v = np.asarray(v)

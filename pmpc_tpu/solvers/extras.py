@@ -60,11 +60,10 @@ def x_map(cqp: CondensedQP) -> Tuple[np.ndarray, np.ndarray]:
     return Xmap, xoff
 
 
-def _u_selector_rows(M, N, nc, nf, udim, NX):
-    """Index helpers for the canonical full layout [u_cons; u_free; x]."""
+def _full_layout_sizes(M, nc, nf, NX):
+    """(nu_total, n_full) of the canonical full layout [u_cons; u_free; x]."""
     nu_total = nc + M * nf
-    n_full = nu_total + M * NX
-    return nu_total, n_full
+    return nu_total, nu_total + M * NX
 
 
 def terminal_cross_cost(cqp: CondensedQP, N: int, xdim: int, Hf, hf=None):
@@ -109,7 +108,7 @@ def cone_solve_with_extras(
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     NX = cqp.g.shape[-1]
     nz = nc + M * nf
-    nu_total, n_full = _u_selector_rows(M, N, nc, nf, udim, NX)
+    nu_total, n_full = _full_layout_sizes(M, nc, nf, NX)
     dtype = np.asarray(cqp.qf).dtype
 
     H, q = dense_H_q(cqp)

@@ -109,4 +109,5 @@ def test_cvar_intermediate_k():
         return np.sort(Js)[-k:].sum()
 
     v2, v1, vM = sum_k_largest(U2), sum_k_largest(U1), sum_k_largest(UM)
-    assert v2 <= v1 + 1e-6 and v2 <= vM + 1e-6
+    # slack proportional to the objective scale (~200): solver tolerance
+    assert v2 <= v1 + 1e-4 and v2 <= vM + 1e-4
