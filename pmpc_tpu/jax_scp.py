@@ -103,6 +103,7 @@ def build_scp_solver(
     mu_target: float = 0.0,
     kappa: Optional[float] = None,
     lin_cost_fn: Optional[Callable] = None,
+    warm_start: bool = True,
     jit: bool = True,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
@@ -135,7 +136,7 @@ def build_scp_solver(
         return jax.vmap(one)(X_, U_prev, data.params)
 
     def iteration(data: SCPData, carry, _):
-        X_prev, U_prev, it, done, resid = carry
+        X_prev, U_prev, it, done, resid, warm = carry
         f, fx, fu = linearize_particles(data, X_prev, U_prev)
 
         X_ref, U_ref = data.X_ref, data.U_ref
@@ -170,9 +171,12 @@ def build_scp_solver(
                 tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
                 kappa=kappa if kappa is not None else dflt_kappa,
                 mu_target=mu_target,
+                warm=warm,
             )
+            warm_new = (uc, uf, stats["s"], stats["lam"]) if warm_start else warm
         else:
             uc, uf = solve_eq(cqp)
+            warm_new = warm
         X, U = recover_XU(cqp, uc, uf, N=N)
 
         dX, dU = X - X_prev, U - U_prev
@@ -189,16 +193,35 @@ def build_scp_solver(
         U_out = jnp.where(freeze, U_prev, U)
         resid_out = jnp.where(freeze, resid, new_resid)
         it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
-        return (X_out, U_out, it_out, done | now_done, resid_out), None
+        warm_out = jax.tree.map(lambda a, b: jnp.where(freeze, b, a), warm_new, warm) \
+            if warm is not None else None
+        return (X_out, U_out, it_out, done | now_done, resid_out, warm_out), None
 
     @with_matmul_precision("highest")
     def solver(data: SCPData):
+        dt = data.Q.dtype
+        if has_bounds and warm_start:
+            # neutral warm point for the first iteration: primal from U_prev,
+            # slacks/multipliers at the cold-start heuristic values
+            nc = Nc * udim
+            nf = (N - Nc) * udim
+            NX = N * xdim
+            uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
+            uf_w = data.U_prev.reshape(M, -1)[:, nc:]
+            ones = lambda shape: jnp.ones(shape, dt)
+            s_w = (ones((nc,)), ones((nc,)), ones((M, nf)), ones((M, nf)),
+                   ones((M, NX)), ones((M, NX)))
+            lam_w = s_w
+            warm0 = (uc_w, uf_w, s_w, lam_w)
+        else:
+            warm0 = None
         carry0 = (
             data.X_prev, data.U_prev,
             jnp.asarray(0, jnp.int32), jnp.asarray(False),
-            jnp.asarray(jnp.inf, data.Q.dtype),
+            jnp.asarray(jnp.inf, dt),
+            warm0,
         )
-        (X, U, it, done, resid), _ = lax.scan(
+        (X, U, it, done, resid, _), _ = lax.scan(
             partial(iteration, data), carry0, None, length=max_it
         )
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
