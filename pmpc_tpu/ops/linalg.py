@@ -35,7 +35,11 @@ def _use_pallas_factor(A) -> bool:
     if A.dtype != jnp.float32:
         return False
     n = A.shape[-1]
-    if not (0 < n <= 128) or A.ndim < 2:
+    if A.ndim < 2 or n <= 0:
+        return False
+    from .pallas_chol import fits_vmem
+
+    if not fits_vmem(n):
         return False
     try:
         import jax

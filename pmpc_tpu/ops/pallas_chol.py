@@ -25,10 +25,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TB = 128  # batch tile = lane width
+TB = 128  # batch tile: the lane dimension is always padded to 128 in VMEM,
+#           so smaller tiles don't reduce memory — instead the input block is
+#           ALIASED with the output (3 buffers total) and `fits_vmem` gates n
+
+
+def fits_vmem(n: int) -> bool:
+    """3 (n_pad, n, 128) f32 buffers (aliased in/out + 2 scratch) under ~14MB."""
+    n_pad = -(-n // 8) * 8
+    return 3 * n_pad * n * 128 * 4 <= 14 * 1024 * 1024
 
 
 def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, S, L):
+    # A_ref is ALIASED with M_ref (read fully before M rows are written);
     # S, L: VMEM scratch (n, n, TB)
     S[...] = A_ref[...]
     if jitter:
@@ -60,7 +69,7 @@ def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, S, L):
 
 @partial(jax.jit, static_argnames=("jitter",))
 def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
-    """Minv = L^{-1} for A (B, n, n) SPD, f32. B padded to a multiple of 128."""
+    """Minv = L^{-1} for A (B, n, n) SPD, f32. B padded to a tile multiple."""
     B, n, _ = A.shape
     nb = -(-B // TB)
     Bp = nb * TB
@@ -85,5 +94,6 @@ def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
             pltpu.VMEM((n, n, TB), A.dtype),
             pltpu.VMEM((n, n, TB), A.dtype),
         ],
+        input_output_aliases={0: 0},
     )(At)
     return jnp.moveaxis(Mt[:, :, :B], -1, 0)

@@ -79,6 +79,22 @@ def _decompress(buf: bytes):
     return serializer.loads(zstandard.decompress(buf))
 
 
+REGISTERED_FUNCTIONS_CACHE: Dict[bytes, "RegisteredFunction"] = {}
+
+
+class RegisteredFunction:
+    """A function carrying its own pickle-hash so remote workers can reference
+    a previously shipped callable instead of re-deserializing it (parity with
+    ``pmpc/remote.py:44-55``)."""
+
+    def __init__(self, fn: Callable) -> None:
+        self.fn, self.hash = fn, serializer.dumps(fn)
+
+    def __call__(self, *args, **kwargs):
+        cached = REGISTERED_FUNCTIONS_CACHE.setdefault(self.hash, self)
+        return cached.fn(*args, **kwargs)
+
+
 # -- client ------------------------------------------------------------------------
 
 
