@@ -49,10 +49,6 @@ def scp_solve(
             "extra_cstrs_fns instead."
         )
     kw.pop("extra_cstrs_fns", None)
-    if diff_cost_fn is not None:
-        raise NotImplementedError(
-            "diff_cost_fn is not wired yet; use lin_cost_fn (linearized cost)"
-        )
     if differentiate_rollout:
         # pmpc_tpu linearizes through the dynamics protocol already
         pass
@@ -61,6 +57,10 @@ def scp_solve(
     if has_bounds:
         ss.setdefault("smooth_cstr", "logbarrier")
         ss.setdefault("smooth_alpha", 1e2)
+    if diff_cost_fn is not None:
+        # jitted via static closure: the callback must be a JAX-traceable
+        # fn(X (M,N,xdim), U (M,N,udim)) -> scalar
+        ss["diff_cost_fn"] = diff_cost_fn
     if dtype is not None:
         ss.setdefault("dtype", np.dtype(dtype))
     return _scp_solve(f_fx_fu_fn, Q, R, x0, solver_settings=ss, **kw)

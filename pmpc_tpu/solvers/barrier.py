@@ -152,7 +152,7 @@ def barrier_core(
     return uc, uf, dict(obj=fval)
 
 
-@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters"))
+@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters", "extra_obj", "N", "xdim", "udim"))
 @with_matmul_precision("highest")
 def lbfgs_core(
     cqp: CondensedQP,
@@ -163,6 +163,10 @@ def lbfgs_core(
     has_u: bool,
     has_x: bool,
     iters: int = 100,
+    extra_obj=None,
+    N: int = 0,
+    xdim: int = 0,
+    udim: int = 0,
 ):
     """L-BFGS on the smoothed objective (optax), role parity with the reference
     experimental solvers BFGS/LBFGS (``solver_definitions.py:25-28,137-145``).
@@ -200,6 +204,13 @@ def lbfgs_core(
             jnp.sum(jnp.where(m, _phi(method, jnp.where(m, y, -1.0), alpha, beta)[0], 0.0))
             for m, y in zip(masks, violations(uc, uf))
         )
+        if extra_obj is not None:
+            # additive differentiable cost over the trajectory (parity with
+            # the experimental diff_cost_fn, jax_solver.py:126-137)
+            w = jnp.concatenate([jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)
+            X = (jnp.einsum("mij,mj->mi", cqp.Ft, w) + cqp.g).reshape(M, N, xdim)
+            U = w.reshape(M, N, udim)
+            pen = pen + extra_obj(X, U)
         return quad + pen
 
     opt = optax.lbfgs()
@@ -228,6 +239,7 @@ def barrier_solve_np(
     alpha: float = 1.0,
     beta: float = 1.0,
     settings: Optional[Dict[str, Any]] = None,
+    extra_obj=None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
     """numpy frontend for the smooth-barrier Newton path."""
     settings = settings or {}
@@ -243,11 +255,13 @@ def barrier_solve_np(
     has_u = u_l is not None or u_u is not None
     has_x = x_l is not None or x_u is not None
 
-    if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
+    if extra_obj is not None or str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
+        # arbitrary additive costs need a general smooth solver: L-BFGS
         uc, uf, stats = lbfgs_core(
             cqp, bounds, method=method, alpha=alpha, beta=beta,
             has_u=has_u, has_x=has_x,
-            iters=int(settings.get("max_it", 100)),
+            iters=int(settings.get("max_it", 100 if extra_obj is None else 200)),
+            extra_obj=extra_obj, N=N, xdim=xdim, udim=udim,
         )
         X, U = recover_XU(cqp, uc, uf, N=N)
         return (np.asarray(X), np.asarray(U),

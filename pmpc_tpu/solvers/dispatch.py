@@ -45,6 +45,7 @@ def affine_solve_np(
     weights = settings.get("weights", None)
     weights = jnp.asarray(weights, dtype=f.dtype) if weights is not None else None
 
+    diff_cost_fn = settings.get("diff_cost_fn", None)
     smooth_cstr = settings.get("smooth_cstr", None)
     smooth_alpha = settings.get("smooth_alpha", None)
     if smooth_alpha is not None and (
@@ -131,6 +132,21 @@ def affine_solve_np(
         jnp.asarray(reg_x), jnp.asarray(reg_u),
         jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
     )
+
+    if diff_cost_fn is not None:
+        # arbitrary additive differentiable cost (experimental diff_cost_fn
+        # parity, jax_solver.py:126-137): smooth path with L-BFGS; box
+        # constraints are smoothed like the reference GPU solver
+        from .barrier import barrier_solve_np
+
+        alpha = float(smooth_alpha if smooth_alpha is not None else 1e2)
+        return barrier_solve_np(
+            base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
+            method=smooth_cstr if smooth_cstr in ("logbarrier", "squareplus")
+            else "logbarrier",
+            alpha=alpha, beta=float(settings.get("smooth_beta", 1.0)),
+            settings=settings, extra_obj=diff_cost_fn,
+        )
 
     if not has_ineq:
         cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)

@@ -147,8 +147,6 @@ def cone_solve_with_extras(
 
     soc_blocks: List[Tuple[np.ndarray, np.ndarray]] = []
     n_aux_total = 0
-    aux_cols: List[np.ndarray] = []  # per-extra G_right, aligned later
-    extra_info = []
 
     # first pass: count aux variables
     extras = [tuple(e) for e in (extra_cstrs or [])]

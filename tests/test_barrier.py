@@ -116,3 +116,38 @@ def test_lbfgs_smooth_solver_option():
                                             solver="LBFGS", max_it=400))
     assert np.isfinite(U_lb).all()
     assert np.abs(U_lb - U_ipm).max() < 5e-3, np.abs(U_lb - U_ipm).max()
+
+
+def test_diff_cost_fn_quadratic_extra_matches_exact():
+    """A quadratic diff_cost_fn must reproduce the exact solve of the
+    equivalently-modified QP (experimental diff_cost_fn parity)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(16)
+    M, N, xdim, udim = 1, 6, 3, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    c, a = 2.0, 0.3
+
+    def extra(X, U):
+        return 0.5 * c * jnp.sum((X - a) ** 2)
+
+    X_s, U_s, d = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=0,
+        settings=dict(diff_cost_fn=extra, max_it=600),
+    )
+    # exact equivalent: Q' = Q + cI, X_ref' with Q' X_ref' = Q X_ref + c a
+    Qp = p["Q"] + c * np.eye(xdim)
+    Xrefp = np.linalg.solve(Qp, (np.einsum("mnij,mnj->mni", p["Q"], p["X_ref"])
+                                 + c * a)[..., None])[..., 0]
+    X_e, U_e, _ = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        Qp, p["R"], Xrefp, p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=0, settings={},
+    )
+    np.testing.assert_allclose(U_s, U_e, atol=2e-3)
