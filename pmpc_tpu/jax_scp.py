@@ -208,11 +208,9 @@ def build_scp_solver(
             NX = N * xdim
             uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
             uf_w = data.U_prev.reshape(M, -1)[:, nc:]
-            ones = lambda shape: jnp.ones(shape, dt)
-            s_w = (ones((nc,)), ones((nc,)), ones((M, nf)), ones((M, nf)),
-                   ones((M, NX)), ones((M, NX)))
-            lam_w = s_w
-            warm0 = (uc_w, uf_w, s_w, lam_w)
+            mtot = 2 * nc + 2 * M * nf + 2 * M * NX
+            s_w = jnp.ones((mtot,), dt)
+            warm0 = (uc_w, uf_w, s_w, s_w)
         else:
             warm0 = None
         carry0 = (

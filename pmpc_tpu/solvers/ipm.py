@@ -57,8 +57,8 @@ class BoxBounds(NamedTuple):
 class IPMState(NamedTuple):
     uc: jax.Array
     uf: jax.Array
-    s: Tuple  # slacks per group (clo, chi, flo, fhi, xlo, xhi)
-    lam: Tuple  # multipliers per group
+    s: jax.Array  # flat slacks [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]
+    lam: jax.Array  # flat multipliers, same order
     mu: jax.Array  # scalar duality measure
     done: jax.Array  # scalar bool (converged OR diverged: stop updating)
     ok: jax.Array  # scalar bool (converged)
@@ -86,13 +86,6 @@ def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: b
     return Kcc, Kcf, Kff
 
 
-def _group(mask, s_val):
-    """Initialize (s, lam) for a constraint group given initial slack values."""
-    s0 = jnp.where(mask, jnp.maximum(s_val, 1.0), 1.0)
-    lam0 = jnp.where(mask, 1.0 / s0, 0.0)
-    return s0, lam0
-
-
 @partial(jax.jit, static_argnames=("has_u", "has_x", "iters", "tol_exp", "kappa", "mu_target"))
 @with_matmul_precision("highest")
 def ipm_core(
@@ -113,6 +106,11 @@ def ipm_core(
     precisely the solution of the reference's logbarrier-smoothed problem
     (``cone_utils.jl:173-202``), so the ``smooth_cstr="logbarrier"`` path reuses
     this solver with ``mu_target = 1/smooth_alpha``.
+
+    Internally all 2x(consensus + free + state) constraint groups live in ONE
+    flat vector (order [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]) so the per-
+    iteration bookkeeping is a handful of fused vector ops instead of dozens
+    of small per-group kernels. ``warm`` is (uc, uf, s_flat, lam_flat).
     """
     dtype = cqp.qf.dtype
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
@@ -122,170 +120,146 @@ def ipm_core(
     NX = cqp.g.shape[-1]
     Ftc, Ftf = cqp.Ft[:, :, :nc], cqp.Ft[:, :, nc:]  # (M, NX, nc/nf)
     tau = jnp.asarray(0.99 if dtype == jnp.float64 else 0.95, dtype=dtype)
-
-    masks = (
-        jnp.isfinite(bounds.lo_c), jnp.isfinite(bounds.hi_c),
-        jnp.isfinite(bounds.lo_f), jnp.isfinite(bounds.hi_f),
-        jnp.isfinite(bounds.lo_x), jnp.isfinite(bounds.hi_x),
+    mnf, mnx = M * nf, M * NX
+    o_chi, o_flo, o_fhi, o_xlo, o_xhi, mtot = (
+        nc, 2 * nc, 2 * nc + mnf, 2 * nc + 2 * mnf, 2 * nc + 2 * mnf + mnx,
+        2 * nc + 2 * mnf + 2 * mnx,
     )
-    n_act = sum(jnp.sum(m) for m in masks)
-    n_act = jnp.maximum(n_act, 1).astype(dtype)
 
-    def slacks(uc, uf):
-        """Slack values s = h - Gz per group (garbage on masked rows)."""
+    lo_flat = jnp.concatenate([
+        bounds.lo_c, bounds.hi_c, bounds.lo_f.reshape(-1), bounds.hi_f.reshape(-1),
+        bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1),
+    ])
+    mask = jnp.isfinite(lo_flat)
+    n_act = jnp.maximum(jnp.sum(mask), 1).astype(dtype)
+
+    def slack_vals(uc, uf):
+        """s = h - Gz as one flat vector (garbage on masked rows)."""
         if has_x:
             x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
                 [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
-        else:  # state rows are fully masked: skip the (M, NX, NU) matmul
+        else:  # state rows fully masked: skip the (M, NX, NU) matmul
             x = jnp.zeros((M, NX), dtype=dtype)
-        return (
+        return jnp.concatenate([
             uc - bounds.lo_c, bounds.hi_c - uc,
-            uf - bounds.lo_f, bounds.hi_f - uf,
-            x - bounds.lo_x, bounds.hi_x - x,
-        )
+            (uf - bounds.lo_f).reshape(-1), (bounds.hi_f - uf).reshape(-1),
+            (x - bounds.lo_x).reshape(-1), (bounds.hi_x - x).reshape(-1),
+        ])
+
+    def g_dot_z(duc, duf):
+        """G dz as a flat vector (state part only when needed)."""
+        if has_x:
+            dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
+                [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1)).reshape(-1)
+        else:
+            dx = jnp.zeros((mnx,), dtype=dtype)
+        duf_f = duf.reshape(-1)
+        return jnp.concatenate([-duc, duc, -duf_f, duf_f, -dx, dx])
+
+    def gT_dot(v):
+        """(G' v) split into consensus/free contributions."""
+        bc = v[o_chi:o_flo] - v[:nc]
+        bf = (v[o_fhi:o_xlo] - v[o_flo:o_fhi]).reshape(M, nf)
+        if has_x:
+            dv = (v[o_xhi:] - v[o_xlo:o_xhi]).reshape(M, NX)
+            bc = bc + jnp.einsum("mji,mj->i", Ftc, dv)
+            bf = bf + jnp.einsum("mji,mj->mi", Ftf, dv)
+        return bc, bf
 
     # -- initialization ----------------------------------------------------------
     if warm is not None:
         # warm start from a previous (slightly perturbed) solve: reuse the
-        # primal/dual point with a Yildirim-Wright style shift into the
-        # interior — skips the eq-solve factorization and typically cuts the
-        # iteration count when the active set is stable (this doubles as the
-        # jitted-loop analog of the reference's threaded solver_state,
-        # pmpc/scp_mpc.py:366-373)
+        # primal/dual point with a Yildirim-Wright style interior shift —
+        # skips the eq-solve factorization and typically cuts the iteration
+        # count when the active set is stable (the jitted-loop analog of the
+        # reference's threaded solver_state, pmpc/scp_mpc.py:366-373)
         uc0, uf0, warm_s, warm_lam = warm
         delta = jnp.asarray(1e-2, dtype)
-        s0 = tuple(jnp.where(m, jnp.maximum(si, delta), 1.0)
-                   for m, si in zip(masks, warm_s))
-        lam0 = tuple(jnp.where(m, jnp.maximum(li, delta), 0.0)
-                     for m, li in zip(masks, warm_lam))
+        s0 = jnp.where(mask, jnp.maximum(warm_s, delta), 1.0)
+        lam0 = jnp.where(mask, jnp.maximum(warm_lam, delta), 0.0)
     else:
-        # cold start: eq solution, slacks pushed interior
         F0 = arrow_factor(cqp.Hcc, cqp.Hcf, cqp.Hff, jitter=kappa)
         uc0, uf0 = arrow_apply(F0, -cqp.qc, -cqp.qf)
-        s_vals = slacks(uc0, uf0)
-        s0, lam0 = zip(*(_group(m, sv) for m, sv in zip(masks, s_vals)))
-    mu0 = sum(jnp.sum(jnp.where(m, s * l, 0.0)) for m, s, l in zip(masks, s0, lam0)) / n_act
-    state0 = IPMState(uc0, uf0, tuple(s0), tuple(lam0),
-                      mu0, jnp.asarray(False), jnp.asarray(False),
+        sv = slack_vals(uc0, uf0)
+        s0 = jnp.where(mask, jnp.maximum(sv, 1.0), 1.0)
+        lam0 = jnp.where(mask, 1.0 / s0, 0.0)
+    mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
+    state0 = IPMState(uc0, uf0, s0, lam0, mu0,
+                      jnp.asarray(False), jnp.asarray(False),
                       jnp.asarray(0, dtype=jnp.int32))
 
     def grad_lagrangian(uc, uf, lam):
-        """(gc, gf) = Hz + q + G'lam.
-
-        Hz uses the FACTORED form when available (condensation squares the
-        conditioning; factored residuals keep f32 gradients accurate, and
-        inexact-Newton with accurate residuals converges to the accurate
-        KKT point)."""
-        clo, chi, flo, fhi, xlo, xhi = lam
+        """(gc, gf) = Hz + q + G'lam; Hz in FACTORED form when available
+        (condensation squares the conditioning — factored residuals keep f32
+        gradients accurate, and inexact Newton with accurate residuals
+        converges to the accurate KKT point)."""
         if cqp.Qt is not None:
             Hc, Hf = H_apply_factored(cqp, uc, uf)
-            gc = Hc + cqp.qc
-            gf = Hf + cqp.qf
+            gc, gf = Hc + cqp.qc, Hf + cqp.qf
         else:
             gc = cqp.Hcc @ uc + jnp.einsum("mij,mj->i", cqp.Hcf, uf) + cqp.qc
             gf = jnp.einsum("mji,mj->mi", cqp.Hcf, jnp.broadcast_to(uc, (M, nc))) \
                 + jnp.einsum("mij,mj->mi", cqp.Hff, uf) + cqp.qf
-        if has_u:
-            gc = gc + (chi - clo)
-            gf = gf + (fhi - flo)
-        if has_x:
-            dl = xhi - xlo  # (M, NX)
-            gc = gc + jnp.einsum("mji,mj->i", Ftc, dl)
-            gf = gf + jnp.einsum("mji,mj->mi", Ftf, dl)
-        return gc, gf
+        dc, df = gT_dot(lam)
+        return gc + dc, gf + df
 
     def make_body(mehrotra: bool):
         return partial(body, mehrotra)
 
     def body(mehrotra, k, state):
         uc, uf, s, lam, mu, done, ok, it_count = state
-        s_vals = slacks(uc, uf)
-        # primal residuals r_p = Gz + s - h  == s - s_vals on active rows
-        r_p = tuple(jnp.where(m, si - sv, 0.0) for m, si, sv in zip(masks, s, s_vals))
+        sv = slack_vals(uc, uf)
+        r_p = jnp.where(mask, s - sv, 0.0)
         gc, gf = grad_lagrangian(uc, uf, lam)
 
-        # cap the scaling ratios: uncapped lam/s overflows f32 Cholesky late in
-        # the solve (equivalent to a tiny regularization of active constraints)
+        # capped scaling ratios: uncapped lam/s overflows f32 Cholesky late
         w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
-        w = tuple(jnp.where(m, jnp.minimum(l / si, w_max), 0.0)
-                  for m, l, si in zip(masks, lam, s))
-        clo_w, chi_w, flo_w, fhi_w, xlo_w, xhi_w = w
+        w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
 
-        # -- Newton matrix (keeps arrow structure) -------------------------------
         Kcc, Kcf, Kff = box_weighted_K(
-            cqp, clo_w + chi_w, flo_w + fhi_w, xlo_w + xhi_w,
+            cqp,
+            w[:nc] + w[o_chi:o_flo],
+            (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nf),
+            (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX),
             Ftc, Ftf, has_u=has_u, has_x=has_x,
         )
         F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
 
         def newton_rhs(r_c):
-            """rhs = -(g + G'v), v = (lam*r_p - r_c)/s per group."""
-            v = tuple(
-                jnp.where(m, (l * rp - rc) / si, 0.0)
-                for m, l, si, rp, rc in zip(masks, lam, s, r_p, r_c)
-            )
-            vclo, vchi, vflo, vfhi, vxlo, vxhi = v
-            bc, bf = -gc, -gf
-            if has_u:
-                bc = bc - (vchi - vclo)
-                bf = bf - (vfhi - vflo)
-            if has_x:
-                dv = vxhi - vxlo
-                bc = bc - jnp.einsum("mji,mj->i", Ftc, dv)
-                bf = bf - jnp.einsum("mji,mj->mi", Ftf, dv)
-            return (bc, bf), v
+            v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
+            dc, df = gT_dot(v)
+            return (-(gc + dc), -(gf + df)), v
 
         def recover_steps(duc, duf, v):
-            """ds = -r_p - G dz; dlam = w * G dz + v."""
-            if has_x:
-                dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
-                    [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1))
-            else:
-                dx = jnp.zeros((M, NX), dtype=dtype)
-            Gdz = (-duc, duc, -duf, duf, -dx, dx)
-            ds = tuple(jnp.where(m, -rp - g, 0.0)
-                       for m, rp, g in zip(masks, r_p, Gdz))
-            dlam = tuple(jnp.where(m, wi * g + vi, 0.0)
-                         for m, wi, g, vi in zip(masks, w, Gdz, v))
+            gdz = g_dot_z(duc, duf)
+            ds = jnp.where(mask, -r_p - gdz, 0.0)
+            dlam = jnp.where(mask, w * gdz + v, 0.0)
             return ds, dlam
 
         def step_len(s_, ds, lam_, dlam):
-            def ratio(m, val, dval):
-                r = jnp.where(m & (dval < 0), -val / jnp.where(dval < 0, dval, -1.0),
-                              jnp.inf)
-                return jnp.min(r) if r.size else jnp.asarray(jnp.inf, dtype)
-            ap = jnp.minimum(1.0, tau * jnp.minimum(
-                jnp.asarray(jnp.inf, dtype),
-                jnp.min(jnp.stack([ratio(m, si, di) for m, si, di in zip(masks, s_, ds)]))))
-            ad = jnp.minimum(1.0, tau * jnp.min(
-                jnp.stack([ratio(m, li, di) for m, li, di in zip(masks, lam_, dlam)])))
+            rp_ = jnp.where(mask & (ds < 0), -s_ / jnp.where(ds < 0, ds, -1.0), jnp.inf)
+            rd_ = jnp.where(mask & (dlam < 0), -lam_ / jnp.where(dlam < 0, dlam, -1.0),
+                            jnp.inf)
+            ap = jnp.minimum(1.0, tau * jnp.min(rp_)) if mtot else jnp.asarray(1.0, dtype)
+            ad = jnp.minimum(1.0, tau * jnp.min(rd_)) if mtot else jnp.asarray(1.0, dtype)
             return ap, ad
 
         if mehrotra:
-            # -- predictor (affine) step -----------------------------------------
-            r_c_aff = tuple(jnp.where(m, si * l, 0.0) for m, si, l in zip(masks, s, lam))
+            # predictor (affine) step
+            r_c_aff = jnp.where(mask, s * lam, 0.0)
             (bc, bf), v_aff = newton_rhs(r_c_aff)
             duc_a, duf_a = arrow_apply(F, bc, bf)
             ds_a, dlam_a = recover_steps(duc_a, duf_a, v_aff)
             ap_a, ad_a = step_len(s, ds_a, lam, dlam_a)
-            mu_aff = sum(
-                jnp.sum(jnp.where(m, (si + ap_a * dsi) * (l + ad_a * dli), 0.0))
-                for m, si, dsi, l, dli in zip(masks, s, ds_a, lam, dlam_a)
-            ) / n_act
+            mu_aff = jnp.sum(jnp.where(
+                mask, (s + ap_a * ds_a) * (lam + ad_a * dlam_a), 0.0)) / n_act
             sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
-            sig_mu = jnp.maximum(sigma * mu, mu_target)  # hold the central path floor
-
-            # -- corrector step (reuses factorization) ---------------------------
-            r_c = tuple(
-                jnp.where(m, si * l + dsi * dli - sig_mu, 0.0)
-                for m, si, l, dsi, dli in zip(masks, s, lam, ds_a, dlam_a)
-            )
+            sig_mu = jnp.maximum(sigma * mu, mu_target)  # central-path floor
+            # corrector (reuses the factorization)
+            r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
         else:
             # pure centering Newton on the perturbed KKT at mu_target
-            r_c = tuple(
-                jnp.where(m, si * l - mu_target, 0.0)
-                for m, si, l in zip(masks, s, lam)
-            )
+            r_c = jnp.where(mask, s * lam - mu_target, 0.0)
         (bc, bf), v = newton_rhs(r_c)
         duc, duf = arrow_apply(F, bc, bf)
         ds, dlam = recover_steps(duc, duf, v)
@@ -293,65 +267,47 @@ def ipm_core(
 
         uc_n = uc + ap * duc
         uf_n = uf + ap * duf
-        s_n = tuple(jnp.where(m, si + ap * dsi, 1.0) for m, si, dsi in zip(masks, s, ds))
-        lam_n = tuple(jnp.where(m, l + ad * dl, 0.0) for m, l, dl in zip(masks, lam, dlam))
-        mu_n = sum(jnp.sum(jnp.where(m, si * l, 0.0))
-                   for m, si, l in zip(masks, s_n, lam_n)) / n_act
+        s_n = jnp.where(mask, s + ap * ds, 1.0)
+        lam_n = jnp.where(mask, lam + ad * dlam, 0.0)
+        mu_n = jnp.sum(jnp.where(mask, s_n * lam_n, 0.0)) / n_act
 
-        # -- convergence test ----------------------------------------------------
-        rp_inf = jnp.max(jnp.stack([jnp.max(jnp.abs(rp)) if rp.size else jnp.asarray(0.0, dtype)
-                                    for rp in r_p]))
+        # convergence / divergence tests
+        rp_inf = jnp.max(jnp.abs(r_p)) if mtot else jnp.asarray(0.0, dtype)
         gd_inf = jnp.maximum(
             jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, dtype),
             jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, dtype),
         )
-        # any non-finite value in the step: freeze to the PREVIOUS iterate
-        # (checked before the state write so NaN never escapes the loop)
+        # non-finite steps freeze to the PREVIOUS iterate (before any write)
         step_bad = ~(jnp.isfinite(mu_n)
                      & jnp.isfinite(jnp.sum(uc_n) if uc_n.size else jnp.asarray(0.0, dtype))
                      & jnp.isfinite(jnp.sum(uf_n)))
-
         mu_ok = mu_n < jnp.maximum(tol, mu_target * 1.05)
-        # with a central-path target, also require the products s*lam to be
-        # CENTERED at mu_target (that is what makes the point the solution of
-        # the logbarrier-smoothed problem, not just any mu-level iterate)
-        center_err = jnp.max(jnp.stack([
-            jnp.max(jnp.where(m, jnp.abs(si * l - mu_target), 0.0))
-            if si.size else jnp.asarray(0.0, dtype)
-            for m, si, l in zip(masks, s_n, lam_n)
-        ]))
+        # with a central-path target, the products must also be CENTERED at
+        # mu_target (that is what makes the point the logbarrier solution)
+        center_err = jnp.max(jnp.where(mask, jnp.abs(s_n * lam_n - mu_target), 0.0)) \
+            if mtot else jnp.asarray(0.0, dtype)
         centered = (mu_target <= 0) | (center_err < 0.02 * mu_target + tol)
         now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)
-        # divergence (e.g. infeasible problem): freeze before inf/nan poison
         now_bad = step_bad | (mu_n > 1e12)
 
-        # frozen when already done OR when this very step went bad — the bad
-        # step's values must never be written
         frozen = done | now_bad
-        keep = lambda new, old: jax.tree.map(
-            lambda a, b: jnp.where(frozen, b, a), new, old)
-        new_state = IPMState(
-            uc_n, uf_n, s_n, lam_n, mu_n, jnp.asarray(False),
-            ok | now_done,
-            it_count + 1,
-        )
+        keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(frozen, b, a), new, old)
+        new_state = IPMState(uc_n, uf_n, s_n, lam_n, mu_n,
+                             jnp.asarray(False), ok | now_done, it_count + 1)
         old_state = IPMState(uc, uf, s, lam, mu, jnp.asarray(False), ok, it_count)
         merged = keep(new_state, old_state)
-        return merged._replace(done=done | now_done | now_bad,
-                               ok=ok | now_done)
+        return merged._replace(done=done | now_done | now_bad, ok=ok | now_done)
 
-    # while_loop instead of a fixed fori: under vmap the loop stops as soon as
-    # EVERY problem in the batch has converged (or diverged) — converged lanes
-    # freeze, so typical batches finish in ~8-12 iterations instead of `iters`.
+    # while_loop: under vmap the loop stops when EVERY lane is done
     main_body = make_body(True)
 
     def while_cond(state):
         return (~state.done) & (state.iters < iters)
 
-    state = lax.while_loop(while_cond, lambda s: main_body(0, s), state0)
+    state = lax.while_loop(while_cond, lambda st: main_body(0, st), state0)
     if mu_target_pos:
-        # finish with pure centering Newton steps: Mehrotra's second-order
-        # correction hunts mu -> 0 and wobbles around the mu_target point
+        # finish with pure centering steps: Mehrotra's second-order correction
+        # hunts mu -> 0 and wobbles around the mu_target point
         state = state._replace(done=state.done & ~state.ok, ok=jnp.asarray(False))
         state = lax.fori_loop(0, 10, make_body(False), state)
     stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,

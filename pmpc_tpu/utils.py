@@ -103,7 +103,10 @@ def with_matmul_precision(prec: str):
     def deco(fn):
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
-            with jax.default_matmul_precision(prec):
+            import os
+
+            actual = os.environ.get("PMPC_TPU_MATMUL_PRECISION", prec)
+            with jax.default_matmul_precision(actual):
                 return fn(*args, **kwargs)
 
         return wrapper
