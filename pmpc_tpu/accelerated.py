@@ -1,86 +1,92 @@
-"""Nesterov-style accelerated SCP wrapper.
+"""Momentum-accelerated SCP driver.
 
-Parity with the reference ``pmpc/accelerated.py:15-116``: over-relaxed momentum
-on the SCP linearization point (``alf*zk + (1-alf)*zkm1`` with ``alf=1.6``),
-one inner SCP iteration per outer step, solver state threaded through.
+Role parity with the reference's accelerated solver (``pmpc/accelerated.py``):
+each outer step extrapolates the linearization point beyond the latest SCP
+iterate (Nesterov-style over-relaxation) and runs a single SCP iteration from
+there, threading ``solver_state`` through so warm starts survive across steps.
+
+The extrapolation is ``z + MOMENTUM * (z - z_old)`` — equivalently the
+over-relaxed combination ``(1 + MOMENTUM) z - MOMENTUM z_old``.
 """
 
 from __future__ import annotations
 
-import math
 import time
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
-from .scp import print_fn, scp_solve
+from .scp import HIST_FIELDS, HIST_FMTS, print_fn, scp_solve
 from .utils import TablePrinter
 
-alf = 1.6
+#: over-relaxation strength; the reference uses alf=1.6, i.e. momentum 0.6
+MOMENTUM = 0.6
 
 
 def momentum_update(zk, zkm1, it):
-    return alf * zk + (1.0 - alf) * zkm1
+    """Extrapolated linearization point (``it`` unused; kept for API parity)."""
+    return zk + MOMENTUM * (zk - zkm1)
 
 
 def accelerated_scp_solve(
     f_fx_fu_fn,
-    Q,
-    R,
-    x0,
-    X_ref=None,
-    U_ref=None,
-    X_prev=None,
-    U_prev=None,
-    x_l=None,
-    x_u=None,
-    u_l=None,
-    u_u=None,
-    verbose=True,
-    debug=False,
-    max_it=100,
-    time_limit=1000.0,
-    res_tol=1e-5,
-    reg_x=1e0,
-    reg_u=1e-2,
-    slew_rate=0.0,
-    u_slew=None,
+    Q: np.ndarray,
+    R: np.ndarray,
+    x0: np.ndarray,
+    X_ref: Optional[np.ndarray] = None,
+    U_ref: Optional[np.ndarray] = None,
+    X_prev: Optional[np.ndarray] = None,
+    U_prev: Optional[np.ndarray] = None,
+    x_l: Optional[np.ndarray] = None,
+    x_u: Optional[np.ndarray] = None,
+    u_l: Optional[np.ndarray] = None,
+    u_u: Optional[np.ndarray] = None,
+    verbose: bool = True,
+    debug: bool = False,
+    max_it: int = 100,
+    time_limit: float = 1000.0,
+    res_tol: float = 1e-5,
+    reg_x: float = 1e0,
+    reg_u: float = 1e-2,
+    slew_rate: float = 0.0,
+    u_slew: Optional[np.ndarray] = None,
     cost_fn=None,
     lin_cost_fn=None,
-    solver_settings=None,
-    solver_state=None,
-):
-    assert x0.ndim == 2 and R.ndim == 4 and Q.ndim == 4
+    solver_settings: Optional[Dict[str, Any]] = None,
+    solver_state: Optional[Dict[str, Any]] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
+    assert x0.ndim == 2 and Q.ndim == 4 and R.ndim == 4, "batched (M, ...) arrays required"
     M, N, xdim = Q.shape[:3]
     udim = R.shape[-1]
-    X_ref = np.zeros((M, N, xdim)) if X_ref is None else X_ref
-    U_ref = np.zeros((M, N, udim)) if U_ref is None else U_ref
-    X_prev = X_prev if X_prev is not None else X_ref
-    U_prev = U_prev if U_prev is not None else U_ref
-    X_prev, U_prev = X_prev.reshape((M, N, xdim)), U_prev.reshape((M, N, udim))
-    X_ref, U_ref = X_ref.reshape((M, N, xdim)), U_ref.reshape((M, N, udim))
 
-    X_prev_2hist = [X_prev, X_prev]
-    U_prev_2hist = [U_prev, U_prev]
+    def traj(given, ref, d):
+        arr = given if given is not None else ref
+        return np.zeros((M, N, d)) if arr is None else np.asarray(arr, float).reshape((M, N, d))
 
-    field_names = ["it", "elaps", "obj", "resid", "reg_x", "reg_u"]
-    fmts = ["%04d", "%8.3e", "%8.3e", "%8.3e", "%8.3e", "%8.3e"]
-    tp = TablePrinter(field_names, fmts=fmts)
+    X_ref = traj(X_ref, None, xdim)
+    U_ref = traj(U_ref, None, udim)
+    # (previous, current) linearization points; equal at startup so the first
+    # extrapolation is a no-op
+    X_pair = (traj(X_prev, X_ref, xdim),) * 2
+    U_pair = (traj(U_prev, U_ref, udim),) * 2
 
-    t_start = time.time()
-    data = {}
+    table = TablePrinter(list(HIST_FIELDS), fmts=list(HIST_FMTS))
+    clock_start = time.time()
+    merged: Dict[str, Any] = {}
     X = U = None
     if verbose:
-        print_fn(tp.make_header())
-    for it in range(max_it):
-        X_prev = momentum_update(X_prev_2hist[-1], X_prev_2hist[-2], it)
-        U_prev = momentum_update(U_prev_2hist[-1], U_prev_2hist[-2], it)
+        print_fn(table.make_header())
 
-        X, U, data_ = scp_solve(
+    for it in range(max_it):
+        X_lin = momentum_update(X_pair[1], X_pair[0], it)
+        U_lin = momentum_update(U_pair[1], U_pair[0], it)
+
+        X, U, step_data = scp_solve(
             f_fx_fu_fn, Q, R, x0,
-            X_ref=X_ref, U_ref=U_ref, X_prev=X_prev, U_prev=U_prev,
+            X_ref=X_ref, U_ref=U_ref, X_prev=X_lin, U_prev=U_lin,
             x_l=x_l, x_u=x_u, u_l=u_l, u_u=u_u,
             verbose=False, debug=debug,
-            max_it=1, time_limit=math.inf, res_tol=0.0,
+            max_it=1, time_limit=float("inf"), res_tol=0.0,
             reg_x=reg_x, reg_u=reg_u,
             slew_rate=slew_rate, u0_slew=u_slew,
             cost_fn=cost_fn, lin_cost_fn=lin_cost_fn,
@@ -89,23 +95,27 @@ def accelerated_scp_solve(
         if X is None:
             return None, None, None
 
-        X_prev_2hist = [X_prev_2hist[-1], X[..., 1:, :]]
-        U_prev_2hist = [U_prev_2hist[-1], U]
+        X_pair = (X_lin, X[:, 1:, :])
+        U_pair = (U_lin, U)
 
-        solver_state = (data_.get("solver_data", [{}]) or [{}])[-1]
-        solver_state = (solver_state or {}).get("solver_state", None)
-        for k in data_.keys():
-            data.setdefault(k, [])
-            data[k].extend(data_[k])
+        # carry the inner solver's warm-start state into the next outer step
+        inner = (step_data.get("solver_data") or [{}])[-1] or {}
+        solver_state = inner.get("solver_state", None)
+
+        for key, val in step_data.items():
+            merged.setdefault(key, []).extend(val)
+
+        last = merged["hist"][-1]
         if verbose:
-            vals = [it + 1, time.time() - t_start] + [
-                data_["hist"][-1][k] for k in ["obj", "resid", "reg_x", "reg_u"]
-            ]
-            print_fn(tp.make_values(vals))
-        if data["hist"][-1]["resid"] < res_tol:
+            row = (it + 1, time.time() - clock_start, last["obj"], last["resid"],
+                   last["reg_x"], last["reg_u"])
+            print_fn(table.make_values(row))
+        if last["resid"] < res_tol:
             break
-        if (it + 2) / (it + 1) * (time.time() - t_start) > time_limit:
+        elapsed = time.time() - clock_start
+        if elapsed + elapsed / (it + 1) > time_limit:
             break
+
     if verbose:
-        print_fn(tp.make_footer())
-    return X, U, data
+        print_fn(table.make_footer())
+    return X, U, merged

@@ -105,6 +105,7 @@ def build_scp_solver(
     lin_cost_fn: Optional[Callable] = None,
     warm_start: bool = True,
     jit: bool = True,
+    collect_stats: bool = False,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -195,7 +196,11 @@ def build_scp_solver(
         it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
         warm_out = jax.tree.map(lambda a, b: jnp.where(freeze, b, a), warm_new, warm) \
             if warm is not None else None
-        return (X_out, U_out, it_out, done | now_done, resid_out, warm_out), None
+        ys = None
+        if collect_stats:
+            ipm_it = stats["iters"] if has_bounds else jnp.asarray(0, jnp.int32)
+            ys = dict(ipm_iters=ipm_it, resid=new_resid)
+        return (X_out, U_out, it_out, done | now_done, resid_out, warm_out), ys
 
     @with_matmul_precision("highest")
     def solver(data: SCPData):
@@ -219,11 +224,13 @@ def build_scp_solver(
             jnp.asarray(jnp.inf, dt),
             warm0,
         )
-        (X, U, it, done, resid, _), _ = lax.scan(
+        (X, U, it, done, resid, _), ys = lax.scan(
             partial(iteration, data), carry0, None, length=max_it
         )
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
         info = dict(iters=it, resid=resid, converged=resid < res_tol)
+        if collect_stats:
+            info["scan_stats"] = ys
         return X_traj, U, info
 
     return jax.jit(solver) if jit else solver

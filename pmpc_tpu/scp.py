@@ -11,10 +11,15 @@ The affine solve itself replaces the reference's Julia/C ECOS/OSQP bridge
 on-device condensed consensus solver (`pmpc_tpu.solvers`): direct arrow solve
 when unconstrained, batched primal-dual IPM for exact box/cone constraints, and
 a smooth log-barrier Newton path for ``smooth_cstr`` parity.
+
+The loop is organized as a canonicalized problem record (`_SCPProblem`) plus a
+mutable loop state (`_LoopState`); each iteration runs linearize -> solve ->
+filter -> bookkeeping through small helper methods rather than one long body.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import time
 from copy import copy
@@ -27,20 +32,8 @@ from . import filters as _filters
 
 print_fn = print
 
-
-# -- small numpy helpers (host-side loop bookkeeping) ------------------------------
-
-
-def _norm(x, p=None, dim=None):
-    return np.linalg.norm(x, p, dim)
-
-
-def _bmv(A, x):
-    return (A @ x[..., None])[..., 0]
-
-
-def _XU2vec(X, U):
-    return np.concatenate([np.asarray(X).reshape(-1), np.asarray(U).reshape(-1)])
+HIST_FIELDS = ("it", "elaps", "obj", "resid", "reg_x", "reg_u")
+HIST_FMTS = ("%04d", "%8.3e", "%8.3e", "%8.3e", "%8.3e", "%8.3e")
 
 
 # -- affine solve dispatcher -------------------------------------------------------
@@ -150,25 +143,143 @@ def aff_solve(
     return X_traj, np.asarray(U), data
 
 
-# -- cost augmentation (pmpc/scp_mpc.py:171-185) -----------------------------------
+# -- cost augmentation (role of pmpc/scp_mpc.py:171-185) ---------------------------
 
 
 def _augment_cost(lin_cost_fn, X_prev, U_prev, Q, R, X_ref, U_ref, problems):
-    """Fold the linearized nonlinear cost into the references: parity with
-    ``pmpc/scp_mpc.py:171-185``."""
+    """Fold a linearized nonconvex cost into the tracking references.
+
+    A linear cost term c'x added to 0.5(x-x_ref)'Q(x-x_ref) is equivalent to
+    shifting the reference by -Q^{-1}c; same for controls."""
     if lin_cost_fn is None:
         return X_ref, U_ref
     cx, cu = lin_cost_fn(X_prev, U_prev, problems)
-    if cx is not None:
-        cx = np.asarray(cx)
-        X_ref = X_ref - np.linalg.solve(Q, cx[..., None])[..., 0]
-    if cu is not None:
-        cu = np.asarray(cu)
-        U_ref = U_ref - np.linalg.solve(R, cu[..., None])[..., 0]
-    return X_ref, U_ref
+
+    def shifted(ref, weight, c):
+        if c is None:
+            return ref
+        shift = np.linalg.solve(weight, np.asarray(c)[..., None])[..., 0]
+        return ref - shift
+
+    return shifted(X_ref, Q, cx), shifted(U_ref, R, cu)
 
 
-# -- the SCP loop ------------------------------------------------------------------
+# -- canonicalized problem + loop state --------------------------------------------
+
+
+@dataclasses.dataclass
+class _SCPProblem:
+    """All solve inputs, canonicalized to batched (M, ...) numpy arrays."""
+
+    f_fx_fu_fn: Callable
+    Q: np.ndarray  # (M, N, xdim, xdim)
+    R: np.ndarray  # (M, N, udim, udim)
+    x0: np.ndarray  # (M, xdim)
+    X_ref: np.ndarray  # (M, N, xdim)
+    U_ref: np.ndarray  # (M, N, udim)
+    x_l: np.ndarray  # (M, N, xdim) or size-0
+    x_u: np.ndarray
+    u_l: np.ndarray
+    u_u: np.ndarray
+    reg_x: float
+    reg_u: float
+    slew_rate: Optional[float]
+    u0_slew: Optional[np.ndarray]
+    single: bool  # caller passed unbatched arrays; squeeze outputs
+    extra_kw: Dict[str, Any]
+
+    @property
+    def dims(self) -> Tuple[int, int, int, int]:
+        M, N, xdim = self.Q.shape[:3]
+        return M, N, xdim, self.R.shape[-1]
+
+    @classmethod
+    def build(
+        cls, f_fx_fu_fn, Q, R, x0, X_ref, U_ref, x_l, x_u, u_l, u_u,
+        reg_x, reg_u, slew_rate, u0_slew, extra_kw,
+    ) -> "_SCPProblem":
+        x0 = np.array(x0, dtype=float)
+        Q, R = np.array(Q, dtype=float), np.array(R, dtype=float)
+        single = x0.ndim == 1
+        if single:
+            assert Q.ndim == 3 and R.ndim == 3, "single-particle arrays must be (N, d, d)"
+            Q, R, x0 = Q[None], R[None], x0[None]
+            X_ref, U_ref = atleast_nd(X_ref, 3), atleast_nd(U_ref, 3)
+            x_l, x_u = atleast_nd(x_l, 3), atleast_nd(x_u, 3)
+            u_l, u_u = atleast_nd(u_l, 3), atleast_nd(u_u, 3)
+        else:
+            assert Q.ndim == 4 and R.ndim == 4, "batched arrays must be (M, N, d, d)"
+        M, N, xdim = Q.shape[:3]
+        udim = R.shape[-1]
+
+        def ref_or_zero(ref, d):
+            if ref is None:
+                return np.zeros((M, N, d))
+            return np.array(ref, dtype=float).reshape((M, N, d))
+
+        def bound_or_empty(b):
+            return np.array(b, dtype=float) if b is not None else np.zeros((0, 0, 0))
+
+        return cls(
+            f_fx_fu_fn=f_fx_fu_fn,
+            Q=Q, R=R, x0=x0,
+            X_ref=ref_or_zero(X_ref, xdim), U_ref=ref_or_zero(U_ref, udim),
+            x_l=bound_or_empty(x_l), x_u=bound_or_empty(x_u),
+            u_l=bound_or_empty(u_l), u_u=bound_or_empty(u_u),
+            reg_x=float(reg_x), reg_u=float(reg_u),
+            slew_rate=float(slew_rate) if slew_rate is not None else None,
+            u0_slew=np.array(u0_slew, dtype=float) if u0_slew is not None else None,
+            single=single,
+            extra_kw=dict(extra_kw),
+        )
+
+    def callback_context(self, f, fx, fu, X_prev, U_prev) -> Dict[str, Any]:
+        """The ``problems`` dict handed to user callbacks (lin_cost_fn /
+        extra_cstrs_fns), reference contract ``pmpc/scp_mpc.py:344-350``."""
+        ctx = dict(self.extra_kw)
+        ctx.update(
+            f_fx_fu_fn=self.f_fx_fu_fn, f=f, fx=fx, fu=fu,
+            x0=self.x0, X_prev=X_prev, U_prev=U_prev,
+            slew_rate=self.slew_rate, u0_slew=self.u0_slew,
+            x_l=self.x_l, x_u=self.x_u, u_l=self.u_l, u_u=self.u_u,
+            Q=self.Q, R=self.R, X_ref=self.X_ref, U_ref=self.U_ref,
+        )
+        return ctx
+
+
+@dataclasses.dataclass
+class _LoopState:
+    """Mutable SCP iteration state."""
+
+    X_prev: np.ndarray  # (M, N, xdim) current linearization trajectory
+    U_prev: np.ndarray  # (M, N, udim)
+    solver_state: Any = None
+    X: Optional[np.ndarray] = None  # latest solution (M, N+1, xdim)
+    U: Optional[np.ndarray] = None
+    max_res: float = math.inf
+    min_viol: float = math.inf
+    it: int = 0
+    update_vecs: List[np.ndarray] = dataclasses.field(default_factory=list)  # filter residuals
+
+
+def _filter_combine(method: str, window: int, update_vecs, sol_hist):
+    """Combine the last `window` solutions with filter weights. Returns (X, U)."""
+    k = min(window, len(update_vecs))
+    weights = _filters.FILTER_MAP[method](update_vecs[-k:])
+    recent = sol_hist[-k:]
+    X = sum(w * Xi for w, (Xi, _) in zip(weights, recent))
+    U = sum(w * Ui for w, (_, Ui) in zip(weights, recent))
+    return X, U
+
+
+def _quad_objective(prob: _SCPProblem, X_tail, U) -> float:
+    """Mean tracking cost (x-x_ref)'Q(x-x_ref) + (u-u_ref)'R(u-u_ref)."""
+    M, N = prob.Q.shape[:2]
+    ex = X_tail - prob.X_ref
+    eu = U - prob.U_ref
+    cost_x = np.einsum("mni,mnij,mnj->", ex, prob.Q, ex)
+    cost_u = np.einsum("mni,mnij,mnj->", eu, prob.R, eu)
+    return float(cost_x + cost_u) / N / M
 
 
 def scp_solve(
@@ -212,143 +323,129 @@ def scp_solve(
     """
     if cost_fn is not None:
         raise ValueError("cost_fn is deprecated, use lin_cost_fn instead.")
-
-    t_elaps = time.time()
-
-    x0, reg_x, reg_u = np.array(x0, dtype=float), float(reg_x), float(reg_u)
-    Q, R = np.copy(Q), np.copy(R)
-    if x0.ndim == 1:  # single particle case
-        assert x0.ndim == 1 and R.ndim == 3 and Q.ndim == 3
-        args = Q, R, x0, X_ref, U_ref, X_prev, U_prev, x_l, x_u, u_l, u_u
-        dims = [4, 4, 2, 3, 3, 3, 3, 3, 3, 3, 3]
-        Q, R, x0, X_ref, U_ref, X_prev, U_prev, x_l, x_u, u_l, u_u = [
-            atleast_nd(z, d) for z, d in zip(args, dims)
-        ]
-        single_particle = True
-    else:
-        assert x0.ndim == 2 and R.ndim == 4 and Q.ndim == 4
-        single_particle = False
-    M, N, xdim = Q.shape[:3]
-    udim = R.shape[-1]
-
-    X_ref = np.zeros((M, N, xdim)) if X_ref is None else np.array(X_ref, dtype=float)
-    U_ref = np.zeros((M, N, udim)) if U_ref is None else np.array(U_ref, dtype=float)
-    X_prev = np.array(X_prev, dtype=float) if X_prev is not None else X_ref
-    U_prev = np.array(U_prev, dtype=float) if U_prev is not None else U_ref
-    X_prev, U_prev = X_prev.reshape((M, N, xdim)), U_prev.reshape((M, N, udim))
-    X_ref, U_ref = X_ref.reshape((M, N, xdim)), U_ref.reshape((M, N, udim))
-    x_l, x_u, u_l, u_u = [
-        np.array(z, dtype=float) if z is not None else np.zeros((0, 0, 0))
-        for z in [x_l, x_u, u_l, u_u]
-    ]
-    slew_rate = float(slew_rate) if slew_rate is not None else None
-    u0_slew = np.array(u0_slew, dtype=float) if u0_slew is not None else None
     u0_slew = extra_kw.pop("u_slew", u0_slew)  # alias accepted by the reference API
-    data: Dict[str, Any] = dict(solver_data=[], hist=[], sol_hist=[])
-    Fs: List[np.ndarray] = []
 
-    field_names = ["it", "elaps", "obj", "resid", "reg_x", "reg_u"]
-    fmts = ["%04d", "%8.3e", "%8.3e", "%8.3e", "%8.3e", "%8.3e"]
-    tp = TablePrinter(field_names, fmts=fmts)
-    solver_settings = copy(solver_settings) if solver_settings is not None else dict()
+    clock_start = time.time()
+    prob = _SCPProblem.build(
+        f_fx_fu_fn, Q, R, x0, X_ref, U_ref, x_l, x_u, u_l, u_u,
+        reg_x, reg_u, slew_rate, u0_slew, extra_kw,
+    )
+    M, N, xdim, udim = prob.dims
 
-    min_viol = math.inf
+    def as_traj(ref, fallback):
+        if ref is None:
+            return fallback.copy()
+        d = fallback.shape[-1]
+        return np.array(ref, dtype=float).reshape((M, N, d))
+
+    st = _LoopState(
+        X_prev=as_traj(X_prev, prob.X_ref),
+        U_prev=as_traj(U_prev, prob.U_ref),
+        solver_state=solver_state,
+    )
+
+    settings = copy(solver_settings) if solver_settings is not None else dict()
+    data: Dict[str, Any] = dict(solver_data=[], hist=[], sol_hist=[], t_aff_solve=[])
+    keep_sol_hist = debug or filter_method != ""
+    table = TablePrinter(list(HIST_FIELDS), fmts=list(HIST_FMTS))
     if verbose:
-        print_fn(tp.make_header())
-    it = 0
-    X, U, solver_data = None, None, None
-    max_res = math.inf
-    while it < max_it:
-        X_ = np.concatenate([x0[..., None, :], X_prev[..., :-1, :]], -2)
-        f, fx, fu = f_fx_fu_fn(X_, U_prev)
+        print_fn(table.make_header())
+
+    while st.it < max_it:
+        # 1. linearize dynamics at the current iterate (user callback)
+        x_at = np.concatenate([prob.x0[:, None, :], st.X_prev[:, :-1, :]], axis=1)
+        f, fx, fu = prob.f_fx_fu_fn(x_at, st.U_prev)
         f = np.asarray(f, dtype=float).reshape((M, N, xdim))
         fx = np.asarray(fx, dtype=float).reshape((M, N, xdim, xdim))
         fu = np.asarray(fu, dtype=float).reshape((M, N, xdim, udim))
 
-        problems = dict(f_fx_fu_fn=f_fx_fu_fn)
-        problems = dict(problems, f=f, fx=fx, fu=fu, x0=x0, X_prev=X_prev, U_prev=U_prev)
-        problems = dict(problems, slew_rate=slew_rate, u0_slew=u0_slew)
-        problems = dict(problems, x_l=x_l, x_u=x_u, u_l=u_l, u_u=u_u)
-        problems = dict(problems, Q=Q, R=R, X_ref=X_ref, U_ref=U_ref)
-        problems = dict(extra_kw, **problems)
-        X_ref_, U_ref_ = _augment_cost(lin_cost_fn, X_prev, U_prev, Q, R, X_ref, U_ref, problems)
-        if extra_cstrs_fns is not None:
-            solver_settings["extra_cstrs"] = tuple(extra_cstrs_fns(X_prev, U_prev, problems))
-        solver_settings["solver_state"] = solver_state
-
-        t_aff = time.time()
-        X, U, solver_data = aff_solve(
-            f, fx, fu, x0, X_prev, U_prev,
-            Q, R, X_ref_, U_ref_,
-            reg_x, reg_u, slew_rate, u0_slew,
-            x_l, x_u, u_l, u_u,
-            solver_settings=solver_settings,
+        # 2. fold user cost linearization / extra constraints into this solve
+        ctx = prob.callback_context(f, fx, fu, st.X_prev, st.U_prev)
+        X_ref_it, U_ref_it = _augment_cost(
+            lin_cost_fn, st.X_prev, st.U_prev, prob.Q, prob.R, prob.X_ref, prob.U_ref, ctx
         )
-        t_aff = time.time() - t_aff
+        if extra_cstrs_fns is not None:
+            settings["extra_cstrs"] = tuple(extra_cstrs_fns(st.X_prev, st.U_prev, ctx))
+        settings["solver_state"] = st.solver_state
 
-        solver_state = (solver_data or {}).get("solver_state", None)
-        X, U = np.asarray(X).reshape((M, N + 1, xdim)), np.asarray(U).reshape((M, N, udim))
+        # 3. affine consensus solve
+        t0 = time.time()
+        X_new, U_new, solver_data = aff_solve(
+            f, fx, fu, prob.x0, st.X_prev, st.U_prev,
+            prob.Q, prob.R, X_ref_it, U_ref_it,
+            prob.reg_x, prob.reg_u, prob.slew_rate, prob.u0_slew,
+            prob.x_l, prob.x_u, prob.u_l, prob.u_u,
+            solver_settings=settings,
+        )
+        data["t_aff_solve"].append(time.time() - t0)
+        st.solver_state = (solver_data or {}).get("solver_state", None)
+        X_new = np.asarray(X_new).reshape((M, N + 1, xdim))
+        U_new = np.asarray(U_new).reshape((M, N, udim))
 
-        if debug or filter_method != "":
-            data["sol_hist"].append((X, U))
-
+        # 4. optional solution filtering over the iterate history
+        if keep_sol_hist:
+            data["sol_hist"].append((X_new, U_new))
+        raw_X, raw_U = X_new, U_new
         if filter_method != "":
-            X_full_prev = np.concatenate([x0[..., None, :], X_prev], -2)
-            Fs.append(_XU2vec(X - X_full_prev, U - U_prev))
-            if it >= filter_it0:
-                alfs = _filters.FILTER_MAP[filter_method](Fs[-min(filter_window, len(Fs)):])
-                XUs = data["sol_hist"][-min(filter_window, len(Fs)):]
-                X = sum(alf * Xi for alf, (Xi, _) in zip(alfs, XUs))
-                U = sum(alf * Ui for alf, (_, Ui) in zip(alfs, XUs))
+            full_prev = np.concatenate([prob.x0[:, None, :], st.X_prev], axis=1)
+            st.update_vecs.append(np.concatenate(
+                [(X_new - full_prev).ravel(), (U_new - st.U_prev).ravel()]
+            ))
+            if st.it >= filter_it0:
+                X_new, U_new = _filter_combine(
+                    filter_method, filter_window, st.update_vecs, data["sol_hist"]
+                )
 
-        if np.any(np.isnan(X)) or np.any(np.isnan(U)):
+        # 5. failure contract: NaN solution aborts the solve
+        if not (np.isfinite(X_new).all() and np.isfinite(U_new).all()):
             if verbose:
                 print_fn("Solver failed...")
             return None, None, None
 
-        X_ = X[..., 1:, :]
-        if filter_method != "":
-            dX = data["sol_hist"][-1][0][..., 1:, :] - X_prev
-            dU = data["sol_hist"][-1][1] - U_prev
-        else:
-            dX, dU = X_ - X_prev, U - U_prev
-        max_res = max(np.max(_norm(dX, 2, -1)), np.max(_norm(dU, 2, -1)))
-        dX, dU = X_ - X_ref, U - U_ref
-        obj = (np.sum(dX * _bmv(Q, dX)) + np.sum(dU * _bmv(R, dU))) / N / M
+        # 6. residual (of the unfiltered update), objective, bookkeeping
+        st.max_res = max(
+            float(np.linalg.norm(raw_X[:, 1:] - st.X_prev, axis=-1).max()),
+            float(np.linalg.norm(raw_U - st.U_prev, axis=-1).max()),
+        )
+        obj = _quad_objective(prob, X_new[:, 1:], U_new)
+        st.X, st.U = X_new, U_new
+        st.X_prev, st.U_prev = X_new[:, 1:], U_new
+        st.it += 1
 
-        X_prev, U_prev = X[..., 1:, :], U
-
-        t_run = time.time() - t_elaps
-        vals = (it + 1, t_run, obj, max_res, reg_x, reg_u)
+        row = (st.it, time.time() - clock_start, obj, st.max_res, prob.reg_x, prob.reg_u)
         if verbose:
-            print_fn(tp.make_values(vals))
+            print_fn(table.make_values(row))
         data["solver_data"].append(solver_data)
-        data["hist"].append({k: val for k, val in zip(field_names, vals)})
-        data.setdefault("t_aff_solve", [])
-        data["t_aff_solve"].append(t_aff)
+        data["hist"].append(dict(zip(HIST_FIELDS, row)))
 
-        if return_min_viol and (it >= min_viol_it0 or min_viol_it0 < 0):
-            if min_viol > max_res:
-                data["min_viol_sol"], min_viol = (X, U), max_res
+        if return_min_viol and (min_viol_it0 < 0 or st.it - 1 >= min_viol_it0):
+            if st.max_res < st.min_viol:
+                st.min_viol = st.max_res
+                data["min_viol_sol"] = (st.X, st.U)
 
-        if max_res < res_tol:
+        # 7. stopping: converged, or the projected time after one more
+        #    iteration would exceed the budget
+        if st.max_res < res_tol:
             break
-        it += 1
-        if (time.time() - t_elaps) * (it + 1) / it > time_limit:
+        elapsed = time.time() - clock_start
+        if elapsed + elapsed / st.it > time_limit:
             break
 
     if verbose:
-        print_fn(tp.make_footer())
-    if verbose and max_res > 1e-2:
-        msg = "Bad solution found, the solution is approximate to a residual:"
-        print_fn("#" * 73)
-        print_fn(msg, "%9.4e" % max_res)
-        print_fn("#" * 73)
+        print_fn(table.make_footer())
+        if st.max_res > 1e-2:
+            banner = "#" * 73
+            print_fn(banner)
+            print_fn(
+                "Bad solution found, the solution is approximate to a residual:",
+                "%9.4e" % st.max_res,
+            )
+            print_fn(banner)
     if not debug:
         del data["sol_hist"]
-    if not single_particle:
-        return X.reshape((M, N + 1, xdim)), U.reshape((M, N, udim)), data
-    return X.reshape((N + 1, xdim)), U.reshape((N, udim)), data
+    if prob.single:
+        return st.X[0], st.U[0], data
+    return st.X, st.U, data
 
 
 def solve(*args, **kwargs):

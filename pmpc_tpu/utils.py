@@ -1,64 +1,96 @@
 """Small shared utilities: iteration table printing, shape helpers, dtype policy.
 
-Parity notes: the ASCII iteration table matches the output format of the
-reference's ``pmpc/utils.py:6-62`` (``TablePrinter``); ``atleast_nd`` /
-``to_numpy_f64`` mirror ``pmpc/utils.py:65-80``.
+The ASCII iteration table prints the same columns/format as the reference
+solver's progress log (role of ``pmpc/utils.py``), rendered by a column-spec
+``TablePrinter``; ``atleast_nd`` / ``to_numpy_f64`` cover the same shape/dtype
+canonicalization roles.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Optional, Sequence
 
 import numpy as np
 
 
+@dataclass(frozen=True)
+class _Column:
+    """One table column: a header plus a printf-style cell format."""
+
+    name: str
+    fmt: str
+
+    @property
+    def width(self) -> int:
+        """Inner cell width: widest of header and representative rendered values."""
+        probes: tuple
+        if self.fmt.endswith("s"):
+            probes = ("",)
+        else:
+            probes = (0, -1, 1)
+        try:
+            rendered = max(len(self.fmt % p) for p in probes)
+        except TypeError as e:
+            raise ValueError(f"Unrecognized print format [{self.fmt}]") from e
+        return max(rendered, len(self.name)) + 2
+
+    def cell(self, value) -> str:
+        text = self.fmt % value
+        pad = self.width - len(text)
+        # numeric cells lean right: the spare space (odd widths) goes left
+        return " " * (pad - pad // 2) + text + " " * (pad // 2)
+
+    def head(self) -> str:
+        return self.name.center(self.width)
+
+
 class TablePrinter:
-    """ASCII table printer for SCP iteration logs (same layout as the reference)."""
+    """ASCII iteration-log table (``+---+`` rules, centered cells).
+
+    Construct with column names and printf formats, then emit
+    ``make_header()`` once, ``make_values(row)`` per iteration, and
+    ``make_footer()`` at the end.
+    """
 
     def __init__(self, names: Sequence[str], fmts: Optional[Sequence[str]] = None, prefix: str = ""):
-        self.names = list(names)
-        self.fmts = list(fmts) if fmts is not None else ["%9.4e" for _ in names]
-        self.widths = [
-            max(self._calc_width(fmt), len(name)) + 2 for fmt, name in zip(self.fmts, self.names)
-        ]
+        fmts = list(fmts) if fmts is not None else ["%9.4e"] * len(names)
+        self.cols = [_Column(n, f) for n, f in zip(names, fmts)]
         self.prefix = prefix
+        # validate formats eagerly (width raises on unsupported conversions)
+        for c in self.cols:
+            _ = c.width
 
-    @staticmethod
-    def _calc_width(fmt: str) -> int:
-        kind = fmt[-1]
-        if kind in ("f", "e", "d", "i"):
-            return max(len(fmt % 1), len(fmt % (-1)))
-        if kind == "s":
-            return len(fmt % "")
-        raise ValueError(f"Unrecognized print format [{fmt}]")
+    # backwards-compatible introspection
+    @property
+    def names(self):
+        return [c.name for c in self.cols]
 
-    @staticmethod
-    def _pad(s: str, width: int, left_justify: bool = True) -> str:
-        assert len(s) <= width
-        rem = width - len(s)
-        if left_justify:
-            return " " * (rem // 2) + s + " " * ((rem // 2) + (rem % 2))
-        return " " * ((rem // 2) + (rem % 2)) + s + " " * (rem // 2)
+    @property
+    def fmts(self):
+        return [c.fmt for c in self.cols]
 
-    def make_row_sep(self) -> str:
-        return "+" + "".join("-" * w + "+" for w in self.widths)
+    @property
+    def widths(self):
+        return [c.width for c in self.cols]
+
+    def _rule(self) -> str:
+        return self.prefix + "+" + "+".join("-" * c.width for c in self.cols) + "+"
+
+    def _row(self, cells: Sequence[str]) -> str:
+        return self.prefix + "|" + "|".join(cells) + "|"
 
     def make_header(self) -> str:
-        s = self.prefix + self.make_row_sep() + "\n" + self.prefix
-        for name, width in zip(self.names, self.widths):
-            s += "|" + self._pad(str(name), width, left_justify=True)
-        s += "|\n"
-        return s + self.prefix + self.make_row_sep()
+        rule = self._rule()
+        return "\n".join([rule, self._row([c.head() for c in self.cols]), rule])
 
     def make_footer(self) -> str:
-        return self.prefix + self.make_row_sep()
+        return self._rule()
 
     def make_values(self, vals: Sequence) -> str:
-        assert len(vals) == len(self.fmts)
-        s = self.prefix
-        for val, fmt, width in zip(vals, self.fmts, self.widths):
-            s += "|" + self._pad(fmt % val, width, left_justify=False)
-        return s + "|"
+        if len(vals) != len(self.cols):
+            raise ValueError(f"expected {len(self.cols)} values, got {len(vals)}")
+        return self._row([c.cell(v) for c, v in zip(self.cols, vals)])
 
     def print_header(self) -> None:
         print(self.make_header())
@@ -74,19 +106,20 @@ def atleast_nd(x, n: int):
     """Left-pad the shape of ``x`` with 1s until it has ``n`` dims (None passes through)."""
     if x is None:
         return None
-    x = np.asarray(x) if not hasattr(x, "reshape") else x
-    return x.reshape((1,) * max(n - x.ndim, 0) + tuple(x.shape))
+    if not hasattr(x, "ndim"):
+        x = np.asarray(x)
+    missing = n - x.ndim
+    if missing <= 0:
+        return x
+    return x[(None,) * missing]
 
 
 def to_numpy_f64(x):
-    """Convert to a float64 numpy array (scalars pass through)."""
-    if isinstance(x, np.ndarray) and x.dtype == np.float64:
-        return x
-    if isinstance(x, np.ndarray):
-        return x.astype(np.float64)
+    """Convert to a float64 numpy array (python scalars pass through)."""
     if isinstance(x, (float, int)):
         return x
-    return np.array(x, dtype=np.float64)
+    arr = np.asarray(x)
+    return arr if arr.dtype == np.float64 else arr.astype(np.float64)
 
 
 def with_matmul_precision(prec: str):
