@@ -43,6 +43,26 @@ def stack_problems(problems: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
     return out
 
 
+def _values_equal(a, b) -> bool:
+    """Equality that tolerates array-valued entries (e.g. weights, Hf) in
+    solver_settings — plain ``!=`` on dicts with arrays raises."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        return a.keys() == b.keys() and all(_values_equal(a[k], b[k]) for k in a)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(_values_equal(x, y) for x, y in zip(a, b))
+    if _is_numeric(a) or _is_numeric(b):
+        try:
+            return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+        except Exception:
+            return a is b
+    if type(a) is not type(b):
+        return False
+    try:
+        return bool(a == b)
+    except Exception:
+        return a is b
+
+
 def _homogeneous(problems: Sequence[Dict[str, Any]]) -> bool:
     p0 = problems[0]
     if np.asarray(p0["x0"]).ndim != 1:
@@ -59,7 +79,8 @@ def _homogeneous(problems: Sequence[Dict[str, Any]]) -> bool:
         for k in ("lin_cost_fn", "extra_cstrs_fns"):
             if p.get(k, None) is not p0.get(k, None):
                 return False
-        if p.get("solver_settings", {}) != p0.get("solver_settings", {}):
+        if not _values_equal(p.get("solver_settings", {}) or {},
+                             p0.get("solver_settings", {}) or {}):
             return False
     return True
 
@@ -91,4 +112,13 @@ def solve_problems(
         return [(None, None, None)] * B
     if not split:
         return [(X, U, data)]
-    return [(X[i], U[i], data) for i in range(B)]
+
+    def per_problem_data(i: int) -> Dict[str, Any]:
+        # each split problem gets its OWN data dict (independent hist records)
+        # so callers can annotate/mutate per problem
+        d = dict(data, batch_index=i)
+        if "hist" in d:
+            d["hist"] = [dict(h) for h in d["hist"]]
+        return d
+
+    return [(X[i], U[i], per_problem_data(i)) for i in range(B)]

@@ -86,18 +86,24 @@ def condense(x0, f, fx, fu, X_prev, U_prev) -> Tuple[jax.Array, jax.Array]:
     udim = fu.shape[-1]
     xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
 
+    # one-hot block placement e_j (x) fu_j, built OUTSIDE the scan: an in-body
+    # dynamic_update_slice copies the whole (xdim, N*udim) carry every step
+    # (~40% of assembly time on TPU); as a precomputed scan input the body is
+    # a single fused matmul+add.
+    idx = jnp.arange(N)
+    E = jnp.zeros((N, xdim, N, udim), dtype=f.dtype).at[idx, :, idx, :].set(fu)
+    E = E.reshape(N, xdim, N * udim)
+
     def step(carry, inp):
         row_prev, x_prev = carry
-        j, f_j, fx_j, fu_j, xlin_j = inp
+        f_j, fx_j, E_j, xlin_j = inp
         # sensitivity row: d x_j / d vec(U) = fx_j @ row_{j-1} + e_j (x) fu_j
-        row = fx_j @ row_prev
-        row = lax.dynamic_update_slice(row, fu_j, (0, j * udim))
+        row = fx_j @ row_prev + E_j
         x_next = f_j + fx_j @ (x_prev - xlin_j)
         return (row, x_next), (row, x_next)
 
     init = (jnp.zeros((xdim, N * udim), dtype=f.dtype), x0)
-    js = jnp.arange(N)
-    _, (rows, xs) = lax.scan(step, init, (js, f, fx, fu, xlin))
+    _, (rows, xs) = lax.scan(step, init, (f, fx, E, xlin))
     Ft = rows.reshape(N * xdim, N * udim)
     ft = xs.reshape(N * xdim)
     return Ft, ft

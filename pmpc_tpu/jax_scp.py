@@ -51,13 +51,14 @@ class SCPData(NamedTuple):
     x_l: jax.Array  # (M, N, xdim)
     x_u: jax.Array  # (M, N, xdim)
     params: Any = None  # optional per-particle dynamics params pytree
+    u_soc_r: Any = None  # (M, N) per-stage control-norm radii (+inf = no cone)
 
 
 def make_scp_data(
     x0, Q, R,
     X_ref=None, U_ref=None, X_prev=None, U_prev=None,
     reg_x=1.0, reg_u=1e-2, slew_reg=0.0, slew_reg0=0.0, slew_um1=None,
-    u_l=None, u_u=None, x_l=None, x_u=None, params=None, dtype=None,
+    u_l=None, u_u=None, x_l=None, x_u=None, params=None, u_soc_r=None, dtype=None,
 ) -> SCPData:
     """Convenience constructor with reference-compatible defaults."""
     x0 = jnp.asarray(x0, dtype=dtype)
@@ -84,6 +85,7 @@ def make_scp_data(
         u_l=arr(u_l, (M, N, udim), -jnp.inf), u_u=arr(u_u, (M, N, udim), jnp.inf),
         x_l=arr(x_l, (M, N, xdim), -jnp.inf), x_u=arr(x_u, (M, N, xdim), jnp.inf),
         params=params,
+        u_soc_r=arr(u_soc_r, (M, N), jnp.inf) if u_soc_r is not None else None,
     )
 
 
@@ -106,6 +108,9 @@ def build_scp_solver(
     warm_start: bool = True,
     jit: bool = True,
     collect_stats: bool = False,
+    adaptive_tol: bool = True,
+    ipm_tau: Optional[float] = None,
+    has_u_soc: bool = False,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -124,7 +129,7 @@ def build_scp_solver(
         solver(data: SCPData) -> (X (M,N+1,xdim), U (M,N,udim), info dict)
     """
     Nc = Nc if Nc >= 0 else N
-    has_bounds = has_u_bounds or has_x_bounds
+    has_bounds = has_u_bounds or has_x_bounds or has_u_soc
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
         X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)
@@ -166,6 +171,18 @@ def build_scp_solver(
             )
             dflt_tol = -8 if dt == jnp.float64 else -6
             dflt_kappa = 0.0 if dt == jnp.float64 else 1e-7
+            # inexact-Newton forcing: early SCP iterations (large residual)
+            # only need a loose subproblem solve — the tolerance tightens
+            # quadratically with the SCP residual down to the static floor
+            tol_dyn = None
+            if adaptive_tol:
+                r = jnp.minimum(resid, 1e3)  # resid starts at +inf
+                tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
+            socs = None
+            if has_u_soc:
+                from .solvers.ipm import SocSpec
+
+                socs = SocSpec(r_c=data.u_soc_r[0, :Nc], r_f=data.u_soc_r[:, Nc:])
             uc, uf, stats = ipm_core(
                 cqp, bounds, has_u=has_u_bounds, has_x=has_x_bounds,
                 iters=ipm_iters,
@@ -173,8 +190,16 @@ def build_scp_solver(
                 kappa=kappa if kappa is not None else dflt_kappa,
                 mu_target=mu_target,
                 warm=warm,
+                tol_dynamic=tol_dyn,
+                tau=ipm_tau,
+                socs=socs, has_soc=has_u_soc,
             )
-            warm_new = (uc, uf, stats["s"], stats["lam"]) if warm_start else warm
+            if warm_start:
+                warm_new = (uc, uf, stats["s"], stats["lam"])
+                if has_u_soc:
+                    warm_new = warm_new + (stats["sq"], stats["zq"])
+            else:
+                warm_new = warm
         else:
             uc, uf = solve_eq(cqp)
             warm_new = warm
@@ -216,6 +241,10 @@ def build_scp_solver(
             mtot = 2 * nc + 2 * M * nf + 2 * M * NX
             s_w = jnp.ones((mtot,), dt)
             warm0 = (uc_w, uf_w, s_w, s_w)
+            if has_u_soc:
+                nq = Nc + M * (N - Nc)
+                e0 = jnp.zeros((nq, udim + 1), dt).at[:, 0].set(1.0)
+                warm0 = warm0 + (e0, e0)
         else:
             warm0 = None
         carry0 = (

@@ -36,7 +36,12 @@ def _small_chol_inv(A: jnp.ndarray):
     cols = []
     S = A
     for j in range(m):
-        d = jnp.sqrt(jnp.maximum(S[..., j, j], 1e-30))
+        # a non-positive pivot means the matrix is not SPD: produce NaN (0/0)
+        # so the callers' non-finite freeze/fallback guards catch the
+        # breakdown instead of silently using a wrong factorization
+        # (expressed without a literal NaN so jax_debug_nans stays usable)
+        piv = S[..., j, j]
+        d = jnp.sqrt(jnp.maximum(piv, 0.0)) / jnp.where(piv > 0, 1.0, 0.0)
         col = S[..., :, j] / d[..., None]  # (..., m); entries < j are garbage
         # zero the strictly-upper part of the column
         keep = jnp.arange(m) >= j

@@ -47,8 +47,10 @@ def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, S, L):
     # column (outer-product) Cholesky, batch on lanes
     for j in range(n):
         # exact sqrt + divide (lax.rsqrt is an approximate VPU op on TPU and
-        # measurably degrades the factor)
-        d = jnp.sqrt(jnp.maximum(S[j, j, :], 1e-30))  # (TB,)
+        # measurably degrades the factor); a non-positive pivot (not SPD)
+        # yields NaN so the IPM's non-finite freeze guards catch breakdown
+        piv = S[j, j, :]
+        d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
         col = S[:, j, :] / d[None, :]  # (n, TB)
         mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
         col = jnp.where(mask, col, 0.0)

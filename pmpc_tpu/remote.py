@@ -171,7 +171,10 @@ def register_worker(port: int, ttl: int = 60) -> None:
         ip = gethostbyname(HOSTNAME)
     except Exception:
         ip = "127.0.0.1"
-    key = f"pmpc_worker_{HOSTNAME}_{os.getpid()}_{port}"
+    # key format must carry the address after "/" so reference clients — which
+    # parse key.split("/")[1].split(":") (reference remote.py:383-385) — can
+    # discover these workers; the value serves value-parsing clients (ours)
+    key = f"pmpc_worker_{HOSTNAME}_{os.getpid()}/{HOSTNAME}:{port}"
     r.set(key, f"{ip}:{port}", ex=ttl)
 
 

@@ -249,7 +249,9 @@ def barrier_solve_np(
     xdim = f.shape[-1]
     dtype = np.dtype(np.asarray(f).dtype)
 
-    cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)
+    cqp = assemble_condensed(
+        *base_args, *reg_args, Nc=Nc, weights=weights,
+        scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))
     nc, nf = Nc * udim, (N - Nc) * udim
     bounds = _layout_bounds(u_l, u_u, x_l, x_u, M, N, N * xdim, nc, nf, udim, dtype)
     has_u = u_l is not None or u_u is not None

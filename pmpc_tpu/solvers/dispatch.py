@@ -56,17 +56,36 @@ def affine_solve_np(
         smooth_cstr = "logbarrier"
 
     extra_cstrs = settings.get("extra_cstrs", None)
-    has_ineq = any(z is not None for z in (u_l, u_u, x_l, x_u)) or bool(extra_cstrs)
+    u_soc_r = settings.get("u_soc_r", None)  # per-stage ||u_j|| <= r cones
+    has_ineq = (any(z is not None for z in (u_l, u_u, x_l, x_u))
+                or bool(extra_cstrs) or u_soc_r is not None)
 
     k = settings.get("k", None)
     if k is not None and int(k) >= 0 and int(k) != M:
         # k-worst-particle (CVaR) objective: cone epigraph program
         if extra_cstrs:
             raise NotImplementedError("k (CVaR) combined with extra_cstrs is not supported yet")
+        if smooth_cstr:
+            # the reference cone path smooths AFTER building the k-worst
+            # program (main.jl:242-290); silently hardening the bounds would
+            # change semantics, so refuse the combination until implemented
+            raise NotImplementedError("k (CVaR) combined with smooth_cstr is not supported yet")
         from .cvar import cvar_solve, particle_constants
         from .reduced import particle_H_q
         import jax as _jax
 
+        if weights is not None:
+            # particle weights scale each particle's cost terms before the
+            # k-worst epigraph program is built (main.jl:202-204 via
+            # scale_probs_cost!, main.jl:96-112)
+            w = weights / jnp.sum(weights)
+            wq = np.asarray(w)[:, None, None, None]
+            Q, R = np.asarray(Q) * wq, np.asarray(R) * wq
+            wv = np.asarray(w)
+            reg_x, reg_u = np.asarray(reg_x) * wv, np.asarray(reg_u) * wv
+            slew_reg, slew_reg0 = np.asarray(slew_reg) * wv, np.asarray(slew_reg0) * wv
+            if bool(settings.get("weights_scale_slew_target", True)):
+                slew_um1 = np.asarray(slew_um1) * wv[:, None]
         args16 = [jnp.asarray(a) for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
                                            X_ref, U_ref, reg_x, reg_u,
                                            slew_reg, slew_reg0, slew_um1)]
@@ -108,6 +127,7 @@ def affine_solve_np(
             jnp.asarray(reg_x), jnp.asarray(reg_u),
             jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
             Nc=Nc, weights=weights,
+            scale_slew_target=bool(settings.get("weights_scale_slew_target", True)),
         )
         xdim = f.shape[-1]
         udim = fu.shape[-1]
@@ -133,6 +153,17 @@ def affine_solve_np(
         jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
     )
 
+    if u_soc_r is not None and (
+        diff_cost_fn is not None
+        or smooth_cstr == "squareplus"
+        or str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS")
+    ):
+        raise NotImplementedError(
+            "u_soc_r cones are handled by the structured IPM path only; "
+            "they cannot be combined with smooth first-order solves "
+            "(diff_cost_fn / squareplus / BFGS / LBFGS)"
+        )
+
     if diff_cost_fn is not None:
         # arbitrary additive differentiable cost (experimental diff_cost_fn
         # parity, jax_solver.py:126-137): smooth path with L-BFGS; box
@@ -149,7 +180,9 @@ def affine_solve_np(
         )
 
     if not has_ineq:
-        cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)
+        cqp = assemble_condensed(
+            *base_args, *reg_args, Nc=Nc, weights=weights,
+            scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))
         uc, uf = solve_eq(cqp)
         X, U = recover_XU(cqp, uc, uf, N=N)
         data: Dict[str, Any] = dict(solver_state=settings.get("solver_state"))

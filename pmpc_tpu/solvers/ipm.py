@@ -4,17 +4,21 @@ This is the TPU-native replacement for the reference's CPU cone/QP solvers
 (ECOS interior-point, ``PMPC.jl/src/cone_solver.jl``; OSQP ADMM,
 ``PMPC.jl/src/osqp_solver.jl``): a Mehrotra predictor-corrector primal-dual
 IPM over the condensed variable z = [u_cons; u_free_1..M] with box constraints
-on controls and (condensed) states,
+on controls and (condensed) states, plus optional per-stage second-order cones
+on controls (thrust-cone style ||u_j|| <= r_j),
 
-    min 0.5 z'Hz + q'z   s.t.  lo_u <= u <= hi_u,  lo_x <= Ft z + g <= hi_x.
+    min 0.5 z'Hz + q'z   s.t.  lo_u <= u <= hi_u,  lo_x <= Ft z + g <= hi_x,
+                               ||u_j||_2 <= r_j  (per stage, optional).
 
 Key structural facts exploited:
-- every IPM Newton matrix is H plus diagonal updates (control boxes) plus
-  per-particle ``Ft' D Ft`` terms (state boxes) — it keeps the ARROW structure,
-  so each iteration costs one batched per-particle Cholesky + consensus Schur
-  solve, reused for both the predictor and corrector steps,
+- every IPM Newton matrix is H plus diagonal updates (control boxes), plus
+  per-particle ``Ft' D Ft`` terms (state boxes), plus BLOCK-DIAGONAL per-stage
+  (udim x udim) terms from the control cones' NT scalings — it keeps the ARROW
+  structure, so each iteration costs one batched per-particle Cholesky +
+  consensus Schur solve, reused for both the predictor and corrector steps,
 - infinite/absent bounds are handled by static flags (groups compiled out) and
-  per-row masks (rows frozen at s=1, lam=0), keeping all shapes static,
+  per-row masks (rows frozen at s=1, lam=0); absent cones by per-cone masks
+  (frozen at the SOC unit element),
 - everything vmaps over a leading scenario-batch axis; per-particle work is
   already batched internally.
 
@@ -33,9 +37,11 @@ import numpy as np
 from jax import lax
 
 from ..utils import with_matmul_precision
+from .coneipm import _soc_W, _soc_inv, _soc_prod, _soc_step_len
 from .reduced import (
     CondensedQP,
     H_apply_factored,
+    _block_diag,
     arrow_apply,
     arrow_factor,
     assemble_condensed,
@@ -54,15 +60,29 @@ class BoxBounds(NamedTuple):
     hi_x: jax.Array  # (M, NX)
 
 
+class SocSpec(NamedTuple):
+    """Per-stage control norm cones ||u_j||_2 <= r (entries +inf when absent).
+
+    Consensus stages carry ONE cone each (the controls are shared variables);
+    the radii follow the particle-0 convention of the box bounds
+    (``lqp_utils.jl:323-331``)."""
+
+    r_c: jax.Array  # (Nc,)  consensus-stage radii
+    r_f: jax.Array  # (M, Nf) free-stage radii
+
+
 class IPMState(NamedTuple):
     uc: jax.Array
     uf: jax.Array
     s: jax.Array  # flat slacks [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]
     lam: jax.Array  # flat multipliers, same order
+    sq: jax.Array  # (nq, 1+udim) SOC slacks ([ (0,1) ] when no cones)
+    zq: jax.Array  # (nq, 1+udim) SOC multipliers
     mu: jax.Array  # scalar duality measure
     done: jax.Array  # scalar bool (converged OR diverged: stop updating)
     ok: jax.Array  # scalar bool (converged)
     iters: jax.Array  # iterations actually taken
+    badc: jax.Array  # consecutive factorization/step breakdowns (retry counter)
 
 
 def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: bool):
@@ -86,7 +106,8 @@ def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: b
     return Kcc, Kcf, Kff
 
 
-@partial(jax.jit, static_argnames=("has_u", "has_x", "iters", "tol_exp", "kappa", "mu_target"))
+@partial(jax.jit, static_argnames=("has_u", "has_x", "has_soc", "iters", "tol_exp",
+                                   "kappa", "mu_target", "tau"))
 @with_matmul_precision("highest")
 def ipm_core(
     cqp: CondensedQP,
@@ -98,6 +119,10 @@ def ipm_core(
     kappa: float = 0.0,
     mu_target: float = 0.0,
     warm: Optional[Tuple] = None,
+    tol_dynamic: Optional[jax.Array] = None,
+    tau: Optional[float] = None,
+    socs: Optional[SocSpec] = None,
+    has_soc: bool = False,
 ):
     """Run the predictor-corrector IPM. Returns (uc, uf, stats dict of arrays).
 
@@ -107,19 +132,31 @@ def ipm_core(
     (``cone_utils.jl:173-202``), so the ``smooth_cstr="logbarrier"`` path reuses
     this solver with ``mu_target = 1/smooth_alpha``.
 
-    Internally all 2x(consensus + free + state) constraint groups live in ONE
-    flat vector (order [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]) so the per-
+    Internally all 2x(consensus + free + state) box constraint groups live in
+    ONE flat vector (order [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]) so the per-
     iteration bookkeeping is a handful of fused vector ops instead of dozens
-    of small per-group kernels. ``warm`` is (uc, uf, s_flat, lam_flat).
+    of small per-group kernels. SOC cones (``socs`` + ``has_soc=True``) are a
+    stacked (nq, 1+udim) array: consensus-stage cones first, then free cones
+    (particle-major). ``warm`` is (uc, uf, s_flat, lam_flat) or, with cones,
+    (uc, uf, s_flat, lam_flat, sq, zq).
     """
     dtype = cqp.qf.dtype
+    # `tol_dynamic` (a traced scalar, e.g. an inexact-Newton forcing term tied
+    # to the SCP residual) overrides the static tol when provided
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
+    if tol_dynamic is not None:
+        tol = jnp.maximum(jnp.asarray(tol_dynamic, dtype=dtype), tol)
     mu_target_pos = float(mu_target) > 0.0  # static: selects the centering phase
     mu_target = jnp.asarray(mu_target, dtype=dtype)
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     NX = cqp.g.shape[-1]
     Ftc, Ftf = cqp.Ft[:, :, :nc], cqp.Ft[:, :, nc:]  # (M, NX, nc/nf)
-    tau = jnp.asarray(0.99 if dtype == jnp.float64 else 0.95, dtype=dtype)
+    if tau is None:
+        # 0.99 validated in f32 too: TPU probe |U32-U64|_inf = 4.6e-4 on the
+        # flagship bounded config (benchmarks/accuracy_probe.py), and ~25%
+        # fewer IPM iterations than 0.95
+        tau = 0.99
+    tau = jnp.asarray(tau, dtype=dtype)
     mnf, mnx = M * nf, M * NX
     o_chi, o_flo, o_fhi, o_xlo, o_xhi, mtot = (
         nc, 2 * nc, 2 * nc + mnf, 2 * nc + 2 * mnf, 2 * nc + 2 * mnf + mnx,
@@ -131,7 +168,53 @@ def ipm_core(
         bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1),
     ])
     mask = jnp.isfinite(lo_flat)
-    n_act = jnp.maximum(jnp.sum(mask), 1).astype(dtype)
+
+    # -- SOC bookkeeping ---------------------------------------------------------
+    if has_soc:
+        assert socs is not None
+        Nc_soc = socs.r_c.shape[0]
+        Nf_soc = socs.r_f.shape[-1]
+        udim = (nc // Nc_soc) if Nc_soc else (nf // max(Nf_soc, 1))
+        p = udim + 1
+        nq = Nc_soc + M * Nf_soc
+        r_flat = jnp.concatenate([socs.r_c, socs.r_f.reshape(-1)])  # (nq,)
+        rmask = jnp.isfinite(r_flat)
+        rmaskf = rmask.astype(dtype)
+        e_soc = jnp.zeros((nq, p), dtype).at[:, 0].set(1.0)
+
+        def cone_vals(uc, uf):
+            """h - G z per cone: [r_k; u_stage] (nq, p); unit e on masked cones."""
+            ucs = uc.reshape(Nc_soc, udim) if Nc_soc else uc.reshape(0, udim)
+            ufs = uf.reshape(M * Nf_soc, udim)
+            u_all = jnp.concatenate([ucs, ufs], axis=0)
+            vals = jnp.concatenate([r_flat[:, None], u_all], axis=-1)
+            return jnp.where(rmask[:, None], vals, e_soc)
+
+        def cone_scatter(vq):
+            """S' vq[1:] -> (vc (nc,), vf (M, nf)); masked cones contribute 0."""
+            vq = vq * rmaskf[:, None]
+            vc = vq[:Nc_soc, 1:].reshape(nc) if Nc_soc else jnp.zeros((nc,), dtype)
+            vf = vq[Nc_soc:, 1:].reshape(M, nf) if Nf_soc else jnp.zeros((M, nf), dtype)
+            return vc, vf
+
+        def cone_gdv(duc, duf):
+            """G dz per cone = [0; -du_stage], masked cones -> 0."""
+            dvals = cone_vals(duc, duf)  # first coords r (ignored), rest du
+            gd = jnp.concatenate([jnp.zeros((nq, 1), dtype), -dvals[:, 1:]], axis=-1)
+            return gd * rmaskf[:, None]
+
+        def shift_soc(u):
+            """Shift each cone point into the interior along e."""
+            a = jnp.linalg.norm(u[:, 1:], axis=-1) - u[:, 0]
+            shift = jnp.where(a < -1e-3, 0.0, 1e-3 + jnp.maximum(a, 0.0) * 1.001)
+            return u.at[:, 0].add(shift)
+        n_act = (jnp.sum(mask) + jnp.sum(rmask)).astype(dtype)
+    else:
+        nq, p = 0, 1
+        e_soc = jnp.zeros((0, 1), dtype)
+        rmaskf = jnp.zeros((0,), dtype)
+        n_act = jnp.sum(mask).astype(dtype)
+    n_act = jnp.maximum(n_act, 1.0)
 
     def slack_vals(uc, uf):
         """s = h - Gz as one flat vector (garbage on masked rows)."""
@@ -173,9 +256,13 @@ def ipm_core(
         # skips the eq-solve factorization and typically cuts the iteration
         # count when the active set is stable (the jitted-loop analog of the
         # reference's threaded solver_state, pmpc/scp_mpc.py:366-373)
-        uc0, uf0, warm_s, warm_lam = warm
+        uc0, uf0, warm_s, warm_lam = warm[:4]
         delta = jnp.asarray(1e-2, dtype)
-        s0 = jnp.where(mask, jnp.maximum(warm_s, delta), 1.0)
+        # slacks recomputed from the warm PRIMAL against the new bounds (the
+        # subproblem changed since the warm point was produced): primal
+        # residual starts at ~0 and only the interior floor perturbs it
+        sv = slack_vals(uc0, uf0)
+        s0 = jnp.where(mask, jnp.maximum(sv, delta), 1.0)
         lam0 = jnp.where(mask, jnp.maximum(warm_lam, delta), 0.0)
     else:
         F0 = arrow_factor(cqp.Hcc, cqp.Hcf, cqp.Hff, jitter=kappa)
@@ -183,16 +270,27 @@ def ipm_core(
         sv = slack_vals(uc0, uf0)
         s0 = jnp.where(mask, jnp.maximum(sv, 1.0), 1.0)
         lam0 = jnp.where(mask, 1.0 / s0, 0.0)
-    mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
-    state0 = IPMState(uc0, uf0, s0, lam0, mu0,
+    if has_soc:
+        sq0 = shift_soc(cone_vals(uc0, uf0))
+        if warm is not None and len(warm) >= 6:
+            zq0 = shift_soc(jnp.where(rmask[:, None], warm[5], e_soc))
+        else:
+            zq0 = e_soc
+        mu0 = (jnp.sum(jnp.where(mask, s0 * lam0, 0.0))
+               + jnp.sum(rmaskf * jnp.sum(sq0 * zq0, axis=-1))) / n_act
+    else:
+        sq0, zq0 = e_soc, e_soc
+        mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
+    state0 = IPMState(uc0, uf0, s0, lam0, sq0, zq0, mu0,
                       jnp.asarray(False), jnp.asarray(False),
+                      jnp.asarray(0, dtype=jnp.int32),
                       jnp.asarray(0, dtype=jnp.int32))
 
-    def grad_lagrangian(uc, uf, lam):
-        """(gc, gf) = Hz + q + G'lam; Hz in FACTORED form when available
-        (condensation squares the conditioning — factored residuals keep f32
-        gradients accurate, and inexact Newton with accurate residuals
-        converges to the accurate KKT point)."""
+    def grad_lagrangian(uc, uf, lam, zq):
+        """(gc, gf) = Hz + q + G'lam (+ cone duals); Hz in FACTORED form when
+        available (condensation squares the conditioning — factored residuals
+        keep f32 gradients accurate, and inexact Newton with accurate
+        residuals converges to the accurate KKT point)."""
         if cqp.Qt is not None:
             Hc, Hf = H_apply_factored(cqp, uc, uf)
             gc, gf = Hc + cqp.qc, Hf + cqp.qf
@@ -201,16 +299,21 @@ def ipm_core(
             gf = jnp.einsum("mji,mj->mi", cqp.Hcf, jnp.broadcast_to(uc, (M, nc))) \
                 + jnp.einsum("mij,mj->mi", cqp.Hff, uf) + cqp.qf
         dc, df = gT_dot(lam)
-        return gc + dc, gf + df
+        gc, gf = gc + dc, gf + df
+        if has_soc:
+            # cone Jacobian G_k' z_k = -S_k' z_k[1:]
+            zc, zf = cone_scatter(zq)
+            gc, gf = gc - zc, gf - zf
+        return gc, gf
 
     def make_body(mehrotra: bool):
         return partial(body, mehrotra)
 
     def body(mehrotra, k, state):
-        uc, uf, s, lam, mu, done, ok, it_count = state
+        uc, uf, s, lam, sq, zq, mu, done, ok, it_count, badc = state
         sv = slack_vals(uc, uf)
         r_p = jnp.where(mask, s - sv, 0.0)
-        gc, gf = grad_lagrangian(uc, uf, lam)
+        gc, gf = grad_lagrangian(uc, uf, lam, zq)
 
         # capped scaling ratios: uncapped lam/s overflows f32 Cholesky late
         w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
@@ -223,56 +326,147 @@ def ipm_core(
             (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX),
             Ftc, Ftf, has_u=has_u, has_x=has_x,
         )
+        if has_soc:
+            # NT scalings per cone; r_pq = s - (h - Gz)
+            r_pq = (sq - cone_vals(uc, uf)) * rmaskf[:, None]
+            Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
+            # K += S' (W^{-2})[1:,1:] S — block-diagonal per stage
+            Bq = Wq2inv[:, 1:, 1:] * rmaskf[:, None, None]
+            if nc:
+                Kcc = Kcc + _block_diag(Bq[:Nc_soc])
+            if Nf_soc:
+                Kff = Kff + jax.vmap(_block_diag)(
+                    Bq[Nc_soc:].reshape(M, Nf_soc, udim, udim))
+        # breakdown retries boost the regularization: a near-singular K (cone
+        # scalings blow up ~1/mu near convergence) makes the factorization
+        # produce NaN; the retry re-solves the same iterate with extra jitter
+        diag_scale = jnp.mean(jnp.diagonal(Kff, axis1=-2, axis2=-1)) + 1.0 \
+            if nf else jnp.mean(jnp.abs(jnp.diag(Kcc))) + 1.0
+        boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-5, dtype) * diag_scale
+        if nc:
+            Kcc = Kcc + boost * jnp.eye(nc, dtype=dtype)
+        if nf:
+            Kff = Kff + boost * jnp.eye(nf, dtype=dtype)
         F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
 
-        def newton_rhs(r_c):
+        def solve_K(bc_, bf_):
+            """Arrow solve; with cones, one round of iterative refinement —
+            the recovered cone dual multiplies the solve error by W^{-2}
+            (~1/mu near convergence), so the raw O(kappa eps) solve error
+            shows up as a growing dual residual without refinement."""
+            duc_, duf_ = arrow_apply(F, bc_, bf_)
+            if has_soc:
+                oc = Kcc @ duc_ + jnp.einsum("mij,mj->i", Kcf, duf_)
+                of = jnp.einsum("mji,j->mi", Kcf, duc_) \
+                    + jnp.einsum("mij,mj->mi", Kff, duf_)
+                ddc, ddf = arrow_apply(F, bc_ - oc, bf_ - of)
+                duc_, duf_ = duc_ + ddc, duf_ + ddf
+            return duc_, duf_
+
+        def winv_lam_dc(Wi, lam_, dc):
+            return Wi @ _soc_prod(_soc_inv(lam_), dc)
+
+        def newton_rhs(r_c, dq_c):
             v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
             dc, df = gT_dot(v)
-            return (-(gc + dc), -(gf + df)), v
+            bc, bf = -(gc + dc), -(gf + df)
+            vq = None
+            if has_soc:
+                vq = jnp.einsum("cpr,cr->cp", Wq2inv, r_pq) \
+                    - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)
+                # rhs -= G' vq = +S' vq[1:]
+                vqc, vqf = cone_scatter(vq)
+                bc, bf = bc + vqc, bf + vqf
+            return (bc, bf), v, vq
 
-        def recover_steps(duc, duf, v):
+        def recover_steps(duc, duf, v, vq):
             gdz = g_dot_z(duc, duf)
             ds = jnp.where(mask, -r_p - gdz, 0.0)
             dlam = jnp.where(mask, w * gdz + v, 0.0)
-            return ds, dlam
+            dsq = dzq = None
+            if has_soc:
+                gdq = cone_gdv(duc, duf)
+                dsq = (-r_pq - gdq) * rmaskf[:, None]
+                # dzq = W^{-2}(G dz + r_pq) - W^{-1}(lam^{-1} o dq_c)
+                #     = W^{-2} (G dz) + vq   (vq = W^{-2} r_pq - winv_lam_dc)
+                dzq = (jnp.einsum("cpr,cr->cp", Wq2inv, gdq) + vq) * rmaskf[:, None]
+            return ds, dlam, dsq, dzq
 
-        def step_len(s_, ds, lam_, dlam):
+        def step_len(s_, ds, lam_, dlam, sq_, dsq, zq_, dzq):
             rp_ = jnp.where(mask & (ds < 0), -s_ / jnp.where(ds < 0, ds, -1.0), jnp.inf)
             rd_ = jnp.where(mask & (dlam < 0), -lam_ / jnp.where(dlam < 0, dlam, -1.0),
                             jnp.inf)
             ap = jnp.minimum(1.0, tau * jnp.min(rp_)) if mtot else jnp.asarray(1.0, dtype)
             ad = jnp.minimum(1.0, tau * jnp.min(rd_)) if mtot else jnp.asarray(1.0, dtype)
+            if has_soc:
+                aq_p = jax.vmap(_soc_step_len)(sq_, dsq)
+                aq_d = jax.vmap(_soc_step_len)(zq_, dzq)
+                aq_p = jnp.where(rmaskf > 0, aq_p, jnp.inf)
+                aq_d = jnp.where(rmaskf > 0, aq_d, jnp.inf)
+                ap = jnp.minimum(ap, tau * jnp.min(aq_p))
+                ad = jnp.minimum(ad, tau * jnp.min(aq_d))
             return ap, ad
+
+        def mu_of(s_, lam_, sq_, zq_):
+            tot = jnp.sum(jnp.where(mask, s_ * lam_, 0.0))
+            if has_soc:
+                tot = tot + jnp.sum(rmaskf * jnp.sum(sq_ * zq_, axis=-1))
+            return tot / n_act
 
         if mehrotra:
             # predictor (affine) step
             r_c_aff = jnp.where(mask, s * lam, 0.0)
-            (bc, bf), v_aff = newton_rhs(r_c_aff)
-            duc_a, duf_a = arrow_apply(F, bc, bf)
-            ds_a, dlam_a = recover_steps(duc_a, duf_a, v_aff)
-            ap_a, ad_a = step_len(s, ds_a, lam, dlam_a)
-            mu_aff = jnp.sum(jnp.where(
-                mask, (s + ap_a * ds_a) * (lam + ad_a * dlam_a), 0.0)) / n_act
+            dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
+            (bc, bf), v_aff, vq_aff = newton_rhs(r_c_aff, dq_aff)
+            duc_a, duf_a = solve_K(bc, bf)
+            ds_a, dlam_a, dsq_a, dzq_a = recover_steps(duc_a, duf_a, v_aff, vq_aff)
+            ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
+            if has_soc:
+                # NT scaling assumes s and z move together: separate
+                # primal/dual steps let a cone crash into the boundary
+                # (det_s << mu^2) and stall all later progress
+                ap_a = ad_a = jnp.minimum(ap_a, ad_a)
+            mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a,
+                           sq + ap_a * dsq_a if has_soc else sq,
+                           zq + ad_a * dzq_a if has_soc else zq)
             sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
             sig_mu = jnp.maximum(sigma * mu, mu_target)  # central-path floor
             # corrector (reuses the factorization)
             r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
+            if has_soc:
+                eta_a = jax.vmap(lambda Wi, x_: Wi @ x_)(Wqinv, dsq_a)
+                th_a = jax.vmap(lambda Wm, x_: Wm @ x_)(Wq, dzq_a)
+                dq_c = (jax.vmap(_soc_prod)(lamq, lamq)
+                        + jax.vmap(_soc_prod)(eta_a, th_a) - sig_mu * e_soc)
+            else:
+                dq_c = None
         else:
             # pure centering Newton on the perturbed KKT at mu_target
             r_c = jnp.where(mask, s * lam - mu_target, 0.0)
-        (bc, bf), v = newton_rhs(r_c)
-        duc, duf = arrow_apply(F, bc, bf)
-        ds, dlam = recover_steps(duc, duf, v)
-        ap, ad = step_len(s, ds, lam, dlam)
+            dq_c = (jax.vmap(_soc_prod)(lamq, lamq) - mu_target * e_soc) \
+                if has_soc else None
+        (bc, bf), v, vq = newton_rhs(r_c, dq_c)
+        duc, duf = solve_K(bc, bf)
+        ds, dlam, dsq, dzq = recover_steps(duc, duf, v, vq)
+        ap, ad = step_len(s, ds, lam, dlam, sq, dsq, zq, dzq)
+        if has_soc:
+            ap = ad = jnp.minimum(ap, ad)  # single combined step (see above)
 
         uc_n = uc + ap * duc
         uf_n = uf + ap * duf
         s_n = jnp.where(mask, s + ap * ds, 1.0)
         lam_n = jnp.where(mask, lam + ad * dlam, 0.0)
-        mu_n = jnp.sum(jnp.where(mask, s_n * lam_n, 0.0)) / n_act
+        if has_soc:
+            sq_n = jnp.where(rmask[:, None], sq + ap * dsq, e_soc)
+            zq_n = jnp.where(rmask[:, None], zq + ad * dzq, e_soc)
+        else:
+            sq_n, zq_n = sq, zq
+        mu_n = mu_of(s_n, lam_n, sq_n, zq_n)
 
         # convergence / divergence tests
         rp_inf = jnp.max(jnp.abs(r_p)) if mtot else jnp.asarray(0.0, dtype)
+        if has_soc:
+            rp_inf = jnp.maximum(rp_inf, jnp.max(jnp.abs(r_pq)))
         gd_inf = jnp.maximum(
             jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, dtype),
             jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, dtype),
@@ -286,17 +480,30 @@ def ipm_core(
         # mu_target (that is what makes the point the logbarrier solution)
         center_err = jnp.max(jnp.where(mask, jnp.abs(s_n * lam_n - mu_target), 0.0)) \
             if mtot else jnp.asarray(0.0, dtype)
+        if has_soc:
+            prod_q = jnp.sum(sq_n * zq_n, axis=-1)
+            center_err = jnp.maximum(
+                center_err, jnp.max(rmaskf * jnp.abs(prod_q - mu_target)))
         centered = (mu_target <= 0) | (center_err < 0.02 * mu_target + tol)
-        now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)
+        # dual-residual criterion: with SOC cones the achievable accuracy is
+        # cancellation-limited by the NT scaling near the boundary (~sqrt(tol)
+        # in practice); demanding 1e3*tol would keep iterating past the best
+        # point and drift
+        gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
+        now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < gd_tol)
         now_bad = step_bad | (mu_n > 1e12)
+        badc_n = jnp.where(now_bad, badc + 1, 0)
+        give_up = badc_n >= 4  # repeated breakdowns: stop at the best iterate
 
         frozen = done | now_bad
         keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(frozen, b, a), new, old)
-        new_state = IPMState(uc_n, uf_n, s_n, lam_n, mu_n,
-                             jnp.asarray(False), ok | now_done, it_count + 1)
-        old_state = IPMState(uc, uf, s, lam, mu, jnp.asarray(False), ok, it_count)
+        new_state = IPMState(uc_n, uf_n, s_n, lam_n, sq_n, zq_n, mu_n,
+                             jnp.asarray(False), ok | now_done, it_count + 1,
+                             badc_n)
+        old_state = IPMState(uc, uf, s, lam, sq, zq, mu,
+                             jnp.asarray(False), ok, it_count + 1, badc_n)
         merged = keep(new_state, old_state)
-        return merged._replace(done=done | now_done | now_bad, ok=ok | now_done)
+        return merged._replace(done=done | now_done | give_up, ok=ok | now_done)
 
     # while_loop: under vmap the loop stops when EVERY lane is done
     main_body = make_body(True)
@@ -310,8 +517,17 @@ def ipm_core(
         # hunts mu -> 0 and wobbles around the mu_target point
         state = state._replace(done=state.done & ~state.ok, ok=jnp.asarray(False))
         state = lax.fori_loop(0, 10, make_body(False), state)
+    # final KKT diagnostics (cheap: one residual evaluation)
+    gc_f, gf_f = grad_lagrangian(state.uc, state.uf, state.lam, state.zq)
+    gd_f = jnp.maximum(
+        jnp.max(jnp.abs(gc_f)) if gc_f.size else jnp.asarray(0.0, dtype),
+        jnp.max(jnp.abs(gf_f)) if gf_f.size else jnp.asarray(0.0, dtype),
+    )
+    rp_f = jnp.max(jnp.abs(jnp.where(mask, state.s - slack_vals(state.uc, state.uf), 0.0))) \
+        if mtot else jnp.asarray(0.0, dtype)
     stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,
-                 s=state.s, lam=state.lam)
+                 s=state.s, lam=state.lam, sq=state.sq, zq=state.zq,
+                 gd_inf=gd_f, rp_inf=rp_f)
     return state.uc, state.uf, stats
 
 
@@ -339,6 +555,13 @@ def _layout_bounds(u_l, u_u, x_l, x_u, M, N, NX, nc, nf, udim, dtype):
     )
 
 
+def layout_socs(u_soc_r, M, N, Nc, dtype) -> SocSpec:
+    """Map an (M, N) per-stage control-norm radius array into the consensus
+    cone layout (+inf = no cone; consensus stages take particle 0's radius)."""
+    r = np.broadcast_to(np.asarray(u_soc_r, dtype=dtype), (M, N))
+    return SocSpec(r_c=jnp.asarray(r[0, :Nc]), r_f=jnp.asarray(r[:, Nc:]))
+
+
 def ipm_solve_np(
     base_args, reg_args, u_l, u_u, x_l, x_u,
     Nc: int,
@@ -347,20 +570,21 @@ def ipm_solve_np(
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
     """numpy frontend: assemble the condensed QP and run the IPM."""
     settings = settings or {}
-    if settings.get("extra_cstrs"):
-        raise NotImplementedError(
-            "extra_cstrs on the exact IPM path land with the cone support; "
-            "use smooth_cstr for now"
-        )
     f = base_args[1]
     M, N = f.shape[0], f.shape[1]
     udim = base_args[3].shape[-1]
     xdim = f.shape[-1]
     dtype = np.dtype(np.asarray(f).dtype)
 
-    cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights)
+    cqp = assemble_condensed(
+        *base_args, *reg_args, Nc=Nc, weights=weights,
+        scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))
     nc, nf = Nc * udim, (N - Nc) * udim
     bounds = _layout_bounds(u_l, u_u, x_l, x_u, M, N, N * xdim, nc, nf, udim, dtype)
+
+    u_soc_r = settings.get("u_soc_r", None)
+    has_soc = u_soc_r is not None
+    socs = layout_socs(u_soc_r, M, N, Nc, dtype) if has_soc else None
 
     has_u = u_l is not None or u_u is not None
     has_x = x_l is not None or x_u is not None
@@ -369,13 +593,34 @@ def ipm_solve_np(
     kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
     mu_target = float(settings.get("mu_target", 0.0))
 
+    # warm start from the previous SCP iteration's primal/dual point, threaded
+    # through ``solver_settings["solver_state"]`` by the host SCP loop (role of
+    # the reference's solver_state reuse, pmpc/scp_mpc.py:366-373 /
+    # osqp_solver.jl:34-72); ignored when shapes don't match the new problem
+    warm = None
+    prev_state = settings.get("solver_state") or {}
+    cand = prev_state.get("ipm_warm") if isinstance(prev_state, dict) else None
+    if cand is not None:
+        uc_w, uf_w, s_w, lam_w = cand[:4]
+        mtot = 2 * nc + 2 * M * nf + 2 * M * (N * xdim)
+        if (np.shape(uc_w) == (nc,) and np.shape(uf_w) == (M, nf)
+                and np.shape(s_w) == (mtot,) and np.shape(lam_w) == (mtot,)):
+            warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
+            if has_soc and len(warm) < 6:
+                warm = None  # cone duals missing: cold start
+
     uc, uf, stats = ipm_core(
         cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
-        kappa=kappa, mu_target=mu_target,
+        kappa=kappa, mu_target=mu_target, warm=warm,
+        socs=socs, has_soc=has_soc,
     )
     X, U = recover_XU(cqp, uc, uf, N=N)
+    warm_out = [np.asarray(uc), np.asarray(uf),
+                np.asarray(stats["s"]), np.asarray(stats["lam"])]
+    if has_soc:
+        warm_out += [np.asarray(stats["sq"]), np.asarray(stats["zq"])]
     data = dict(
-        solver_state=settings.get("solver_state"),
+        solver_state=dict(ipm_warm=tuple(warm_out)),
         ipm_mu=float(stats["mu"]),
         ipm_iters=int(stats["iters"]),
         ipm_converged=bool(stats["converged"]),

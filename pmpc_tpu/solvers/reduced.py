@@ -144,7 +144,7 @@ def particle_H_q(
     return H, q, Ft, g
 
 
-@partial(jax.jit, static_argnames=("Nc",))
+@partial(jax.jit, static_argnames=("Nc", "scale_slew_target"))
 @with_matmul_precision("highest")
 def assemble_condensed(
     x0,
@@ -164,6 +164,7 @@ def assemble_condensed(
     slew_um1,
     Nc: int,
     weights: Optional[jax.Array] = None,
+    scale_slew_target: bool = True,
 ) -> CondensedQP:
     """Assemble the joint M-particle condensed QP with consensus horizon ``Nc``.
 
@@ -171,6 +172,12 @@ def assemble_condensed(
     f: (M,N,xdim), ..., reg_x/reg_u/slew_reg/slew_reg0: (M,), slew_um1: (M,udim)).
     ``weights`` (optional, (M,)) rescales per-particle costs like
     ``PMPC.jl/src/main.jl:96-112`` (normalized to sum to 1).
+
+    ``scale_slew_target``: the reference scales the slew ANCHOR ``slew_um1`` by
+    the weight as well (``main.jl:107``), which moves the anchor point, not
+    just the penalty weight. That is reproduced by default for drop-in parity;
+    pass False (``solver_settings["weights_scale_slew_target"]=False``) for the
+    arguably-intended semantics that scale only the penalty.
     """
     M, N = f.shape[0], f.shape[1]
     udim = fu.shape[-1]
@@ -180,11 +187,8 @@ def assemble_condensed(
         Q, R = Q * wq, R * wq
         reg_x, reg_u = reg_x * w, reg_u * w
         slew_reg, slew_reg0 = slew_reg * w, slew_reg0 * w
-        # note: the reference also scales slew_um1 (main.jl:107) which changes the
-        # slew target; we scale only the weight (slew_reg0) and keep the target,
-        # since scaling the regularization target is reference behavior we treat
-        # as a bug (it moves the anchor point, not just the weight).
-        # For exact parity pass pre-scaled inputs.
+        if scale_slew_target:
+            slew_um1 = slew_um1 * w[:, None]
 
     H, q, Ft, g = jax.vmap(particle_H_q)(
         x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,

@@ -73,6 +73,28 @@ def test_solve_problems_heterogeneous_falls_back():
     assert rets[0][0].shape == (11, 2) and rets[1][0].shape == (13, 2)
 
 
+def test_solve_problems_array_valued_settings():
+    """Array values (e.g. weights) in solver_settings must not break the
+    homogeneity check, and each split result gets its own data dict."""
+    f_fn = double_integrator_f_fx_fu_fn()
+    N, xdim, udim = 8, 2, 1
+    rng = np.random.default_rng(1)
+    ss = dict(weights=np.array([1.0]))
+    problems = [dict(
+        f_fx_fu_fn=f_fn,
+        Q=np.tile(np.eye(xdim), (N, 1, 1)),
+        R=np.tile(0.1 * np.eye(udim), (N, 1, 1)),
+        x0=rng.normal(size=xdim), max_it=4,
+        solver_settings=dict(ss),
+    ) for _ in range(3)]
+    rets = pmpc_tpu.solve_problems(problems, verbose=False)
+    assert len(rets) == 3
+    datas = [d for (_, _, d) in rets]
+    assert datas[0] is not datas[1] and datas[0]["hist"] is not datas[1]["hist"]
+    datas[0]["hist"][-1]["marker"] = 1
+    assert "marker" not in datas[1]["hist"][-1]
+
+
 def test_accelerated_scp_solve_runs():
     f_fn = dubins_f_fx_fu_fn()
     M, N, xdim, udim = 1, 10, 4, 2

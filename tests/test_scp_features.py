@@ -70,6 +70,23 @@ def test_verbose_table_output(capsys):
     assert "resid" in out and "+---" in out
 
 
+def test_host_path_warm_start_cuts_ipm_iterations():
+    """solver_state threads the IPM primal/dual point across SCP iterations on
+    the host path; later (slightly perturbed) subproblems must converge in
+    fewer IPM iterations than the cold first solve."""
+    f_fn, Q, R, x0 = _args(N=12)
+    N, udim = 12, 2
+    X, U, data = pmpc_tpu.solve(
+        f_fn, Q, R, x0, max_it=8, res_tol=1e-9, verbose=False,
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+    )
+    iters = [sd["ipm_iters"] for sd in data["solver_data"]]
+    states = [sd["solver_state"] for sd in data["solver_data"]]
+    assert all(st is not None and "ipm_warm" in st for st in states)
+    # warm-started refinement iterations beat the cold start
+    assert min(iters[1:]) < iters[0], iters
+
+
 def test_registered_function_cache():
     from pmpc_tpu.remote import RegisteredFunction
 
