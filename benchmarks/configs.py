@@ -74,16 +74,23 @@ def main():
     spread = float(np.ptp(U[:, :, :1, :], axis=1).max())
     report("2_consensus_M10_Nc1", sps, dict(consensus_spread=spread))
 
-    # 3: box-constrained MPC (exact IPM; the SOC variant runs on the host path)
+    # 3: linear (box) + second-order-cone constrained MPC: per-coordinate box
+    # bounds AND a per-stage thrust cone ||u_j|| <= 0.9, both exact, both on
+    # the fused structured-IPM path
+    soc_r = 0.9
     d3 = make_scp_data(np.ones((1, xdim), f32),
                        np.tile(np.eye(xdim, dtype=f32), (1, N, 1, 1)),
                        np.tile((1e-2 * np.eye(udim)).astype(f32), (1, N, 1, 1)),
                        reg_x=1.0, reg_u=0.1,
-                       u_l=-np.ones((1, N, udim), f32), u_u=np.ones((1, N, udim), f32))
+                       u_l=-np.ones((1, N, udim), f32), u_u=np.ones((1, N, udim), f32),
+                       u_soc_r=np.full((1, N), soc_r, f32))
     s3 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
-                          max_it=10, res_tol=1e-5, has_u_bounds=True, jit=False)
+                          max_it=10, res_tol=1e-5, has_u_bounds=True,
+                          has_u_soc=True, jit=False)
     sps, U, resid = bench_solver(s3, d3, B=512)
-    report("3_box_constrained", sps, dict(u_max=float(np.abs(U).max())))
+    report("3_box_plus_soc_constrained", sps,
+           dict(u_max=float(np.abs(U).max()),
+                u_norm_max=float(np.linalg.norm(U, axis=-1).max()), soc_r=soc_r))
 
     # 4: nonconvex custom cost (log-barrier obstacle via lin_cost_fn)
     obs = jnp.asarray(np.array([0.5, 0.5], f32))

@@ -484,7 +484,7 @@ def ipm_core(
             prod_q = jnp.sum(sq_n * zq_n, axis=-1)
             center_err = jnp.maximum(
                 center_err, jnp.max(rmaskf * jnp.abs(prod_q - mu_target)))
-        centered = (mu_target <= 0) | (center_err < 0.02 * mu_target + tol)
+        centered = (mu_target <= 0) | (center_err < 0.002 * mu_target + tol)
         # dual-residual criterion: with SOC cones the achievable accuracy is
         # cancellation-limited by the NT scaling near the boundary (~sqrt(tol)
         # in practice); demanding 1e3*tol would keep iterating past the best
