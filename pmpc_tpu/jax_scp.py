@@ -111,6 +111,7 @@ def build_scp_solver(
     adaptive_tol: bool = True,
     ipm_tau: Optional[float] = None,
     has_u_soc: bool = False,
+    method: str = "condensed",
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -130,6 +131,13 @@ def build_scp_solver(
     """
     Nc = Nc if Nc >= 0 else N
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
+    if method not in ("condensed", "riccati"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "riccati" and has_bounds:
+        raise NotImplementedError(
+            "method='riccati' currently serves the equality-only (no bounds/"
+            "cones) path; use the condensed IPM for constrained problems"
+        )
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
         X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)
@@ -152,6 +160,31 @@ def build_scp_solver(
                 X_ref = X_ref - jnp.linalg.solve(data.Q, cx[..., None])[..., 0]
             if cu is not None:
                 U_ref = U_ref - jnp.linalg.solve(data.R, cu[..., None])[..., 0]
+
+        if method == "riccati":
+            # O(N) stage-structured consensus solve: no O(N^2) Ft, the
+            # consensus Schur complement is a per-particle theta-quadratic sum
+            from .solvers.riccati import riccati_consensus_solve
+
+            X, U = riccati_consensus_solve(
+                data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
+                X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
+            warm_new = warm
+            dX, dU = X - X_prev, U - U_prev
+            new_resid = jnp.maximum(
+                jnp.max(jnp.linalg.norm(dX, axis=-1)),
+                jnp.max(jnp.linalg.norm(dU, axis=-1)))
+            now_done = new_resid < res_tol
+            bad = ~jnp.isfinite(new_resid)
+            freeze = done | bad
+            X_out = jnp.where(freeze, X_prev, X)
+            U_out = jnp.where(freeze, U_prev, U)
+            resid_out = jnp.where(freeze, resid, new_resid)
+            it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
+            ys = None
+            if collect_stats:
+                ys = dict(ipm_iters=jnp.asarray(0, jnp.int32), resid=new_resid)
+            return (X_out, U_out, it_out, done | now_done, resid_out, warm_new), ys
 
         cqp = assemble_condensed(
             data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,

@@ -180,6 +180,23 @@ def affine_solve_np(
         )
 
     if not has_ineq:
+        if str(settings.get("method", "")).lower() == "riccati":
+            # O(N) stage-structured path (long horizons); slew/weights need
+            # the condensed path
+            if np.any(np.asarray(slew_reg) != 0) or np.any(np.asarray(slew_reg0) != 0):
+                raise NotImplementedError("method='riccati' does not support slew terms")
+            if weights is not None:
+                raise NotImplementedError("method='riccati' does not support weights")
+            from .riccati import riccati_consensus_solve
+
+            X, U = riccati_consensus_solve(
+                jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
+                jnp.asarray(X_prev), jnp.asarray(U_prev),
+                jnp.asarray(Q), jnp.asarray(R),
+                jnp.asarray(X_ref), jnp.asarray(U_ref),
+                jnp.asarray(reg_x), jnp.asarray(reg_u), Nc=Nc)
+            return (np.asarray(X), np.asarray(U),
+                    dict(solver_state=settings.get("solver_state")))
         cqp = assemble_condensed(
             *base_args, *reg_args, Nc=Nc, weights=weights,
             scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))

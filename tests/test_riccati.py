@@ -66,3 +66,47 @@ def test_riccati_long_horizon():
     g = P @ z + q
     nu, *_ = np.linalg.lstsq(A.T, -g, rcond=None)
     assert np.abs(A.T @ nu + g).max() < 1e-6
+
+
+def test_riccati_consensus_matches_condensed():
+    """The theta-parameterized consensus Riccati solve must agree with the
+    condensed arrow solve on a joint M-particle problem (Nc > 0)."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(5)
+    M, N, xdim, udim, Nc = 3, 7, 4, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    kw = dict(
+        x0=p["x0"], f=p["f"], fx=p["fx"], fu=p["fu"],
+        X_prev=p["X_prev"], U_prev=p["U_prev"], Q=p["Q"], R=p["R"],
+        X_ref=p["X_ref"], U_ref=p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc,
+    )
+    X_c, U_c, _ = affine_solve_np(**kw, settings={})
+    X_r, U_r, _ = affine_solve_np(**kw, settings=dict(method="riccati"))
+    np.testing.assert_allclose(U_r, U_c, atol=1e-6)
+    np.testing.assert_allclose(X_r, X_c, atol=1e-6)
+    # consensus block genuinely shared
+    assert np.ptp(U_r[:, :Nc], axis=0).max() < 1e-8
+
+
+def test_fused_scp_riccati_matches_condensed():
+    """build_scp_solver(method='riccati') end-to-end vs the condensed path."""
+    from fixtures import unicycle_step
+    from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+
+    M, N, xdim, udim, Nc = 4, 12, 4, 2, 3
+    rng = np.random.default_rng(0)
+    x0 = (np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim)))
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    data = make_scp_data(x0, Q, R, reg_x=1.0, reg_u=0.1)
+    mk = lambda method: build_scp_solver(
+        unicycle_step, N=N, xdim=xdim, udim=udim, M=M, Nc=Nc,
+        max_it=10, res_tol=1e-7, method=method)
+    X_c, U_c, i_c = mk("condensed")(data)
+    X_r, U_r, i_r = mk("riccati")(data)
+    np.testing.assert_allclose(np.asarray(U_r), np.asarray(U_c), atol=5e-5)
+    assert abs(float(i_r["resid"]) - float(i_c["resid"])) < 1e-4
