@@ -89,9 +89,10 @@ def condense(x0, f, fx, fu, X_prev, U_prev) -> Tuple[jax.Array, jax.Array]:
     # one-hot block placement e_j (x) fu_j, built OUTSIDE the scan: an in-body
     # dynamic_update_slice copies the whole (xdim, N*udim) carry every step
     # (~40% of assembly time on TPU); as a precomputed scan input the body is
-    # a single fused matmul+add.
-    idx = jnp.arange(N)
-    E = jnp.zeros((N, xdim, N, udim), dtype=f.dtype).at[idx, :, idx, :].set(fu)
+    # a single fused matmul+add. Built by broadcast-masking, NOT scatter —
+    # vmapped scatters compile pathologically slowly on TPU.
+    onehot = jnp.eye(N, dtype=f.dtype)  # (N, N)
+    E = onehot[:, None, :, None] * fu[:, :, None, :]  # (N, xdim, N, udim)
     E = E.reshape(N, xdim, N * udim)
 
     def step(carry, inp):

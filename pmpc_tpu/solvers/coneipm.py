@@ -43,7 +43,6 @@ class ConeLP(NamedTuple):
     hl: jax.Array  # (ml,)
     Gq: jax.Array  # (ncones, pmax, nv)  SOC blocks, zero-padded
     hq: jax.Array  # (ncones, pmax)
-    qmask: jax.Array  # (ncones, pmax) bool: True on real coordinates
 
 
 def _soc_W(s, z):

@@ -147,9 +147,8 @@ def cvar_solve(
     ncones = len(soc_blocks)
     pmax = max(g.shape[0] for g, _ in soc_blocks)
     Gq = np.zeros((ncones, pmax, nv)); hq = np.zeros((ncones, pmax))
-    qmask = np.zeros((ncones, pmax), dtype=bool)
     for i, (g, hh) in enumerate(soc_blocks):
-        Gq[i, :g.shape[0]] = g; hq[i, :g.shape[0]] = hh; qmask[i, :g.shape[0]] = True
+        Gq[i, :g.shape[0]] = g; hq[i, :g.shape[0]] = hh
 
     # pure-LP objective: tiny quadratic regularization keeps the init sane
     P[np.diag_indices(nv)] = 1e-8
@@ -158,7 +157,6 @@ def cvar_solve(
         P=jnp.asarray(P, dtype=dtype), q=jnp.asarray(c_obj, dtype=dtype),
         Gl=jnp.asarray(Gl, dtype=dtype), hl=jnp.asarray(hl, dtype=dtype),
         Gq=jnp.asarray(Gq, dtype=dtype), hq=jnp.asarray(hq, dtype=dtype),
-        qmask=jnp.asarray(qmask),
     )
     iters = int(settings.get("ipm_iters", 50))
     # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap

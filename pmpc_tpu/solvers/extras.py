@@ -9,13 +9,17 @@ constraint is a tuple
 with ``G_left`` over the canonical consensus variable
 ``z_full = [u_cons; u_free_1..M; x_1..M]`` (layout ``lqp_utils.jl:2-216``),
 ``G_right`` over fresh auxiliary variables appended to the decision vector,
-``l`` leading nonneg rows, ``q`` a list of SOC sizes, ``e`` exponential cones
-(NOT supported natively — the reference only emits them for its own logbarrier
-smoothing, which pmpc_tpu solves as a central-path target instead).
+``l`` leading nonneg rows, ``q`` a list of SOC sizes, ``e`` a COUNT of 3-dim
+exponential cones (triples of rows after the lin/SOC sections).
 
 States are eliminated: rows over the x-part map through the condensed
 ``x = Xmap w + xoff``, so the whole problem becomes a dense cone QP over
-``v = [w; aux]`` handled by `cone_qp_solve`.
+``v = [w; aux]`` handled by `cone_qp_solve` (nonneg + SOC, on device). Exp
+cones make the program non-symmetric and are solved by a host (scipy) convex
+fallback (`_solve_exp_host`) — note the reference's own logbarrier smoothing
+never takes this path: pmpc_tpu solves it as a TPU central-path target
+(``solvers/ipm.py`` ``mu_target``), proven equivalent in
+``tests/test_reference_parity.py``.
 """
 
 from __future__ import annotations
@@ -87,6 +91,48 @@ def terminal_cross_cost(cqp: CondensedQP, N: int, xdim: int, Hf, hf=None):
     return H_extra, q_extra
 
 
+def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
+    """Host (scipy trust-constr) solve of the dense cone QP with exp cones.
+
+    Exp cone (ECOS convention, ``cone_utils.jl:184-188``): the slack triple
+    s = h - Gv lies in closure{(x, y, z): exp(x/z) <= y/z, z > 0}, i.e.
+    z log(y/z) >= x with y, z > 0 — a concave constraint function, so the
+    program stays convex."""
+    import scipy.optimize as sopt
+
+    nv = q.shape[0]
+    H, q = np.asarray(H, float), np.asarray(q, float)
+    cons = []
+    if Gl.shape[0]:
+        cons.append(sopt.LinearConstraint(Gl, -np.inf, hl))
+    for G, h in soc_blocks:
+        G, h = np.asarray(G, float), np.asarray(h, float)
+
+        def soc_fun(v, G=G, h=h):
+            s = h - G @ v
+            return s[0] - np.linalg.norm(s[1:])
+
+        cons.append(sopt.NonlinearConstraint(soc_fun, 0.0, np.inf))
+    eps = 1e-12
+    for G, h in exp_blocks:
+        G, h = np.asarray(G, float), np.asarray(h, float)
+        # domain: y, z > 0 (linear rows), cone: z log(y/z) - x >= 0
+        cons.append(sopt.LinearConstraint(-G[1:], eps - h[1:], np.inf))
+
+        def exp_fun(v, G=G, h=h):
+            s = h - G @ v
+            y, z = max(s[1], eps), max(s[2], eps)
+            return z * np.log(y / z) - s[0]
+
+        cons.append(sopt.NonlinearConstraint(exp_fun, 0.0, np.inf))
+    res = sopt.minimize(
+        lambda v: 0.5 * v @ H @ v + q @ v, np.zeros(nv),
+        jac=lambda v: H @ v + q,
+        constraints=cons, method="trust-constr",
+        options=dict(maxiter=5000, gtol=1e-10, xtol=1e-12))
+    return res.x
+
+
 def cone_solve_with_extras(
     cqp: CondensedQP,
     N: int,
@@ -146,17 +192,13 @@ def cone_solve_with_extras(
         add_rows(-Xmap, -(xl - xoff))
 
     soc_blocks: List[Tuple[np.ndarray, np.ndarray]] = []
+    exp_blocks: List[Tuple[np.ndarray, np.ndarray]] = []
     n_aux_total = 0
 
     # first pass: count aux variables
     extras = [tuple(e) for e in (extra_cstrs or [])]
     for ec in extras:
         l, qsizes, e, G_left, G_right, h, c_left, c_right = ec
-        if e:
-            raise NotImplementedError(
-                "exponential-cone extra constraints are not supported natively; "
-                "use the squareplus/logbarrier smoothing reformulation"
-            )
         gr = np.asarray(G_right)
         n_aux_total += gr.shape[1] if gr.ndim == 2 else (1 if gr.size else 0)
 
@@ -220,6 +262,12 @@ def cone_solve_with_extras(
         for sz in qsizes:
             soc_blocks.append((G_full[r:r + sz], h_adj[r:r + sz]))
             r += sz
+        # exp cones: e TRIPLES of rows after the lin/SOC sections, ECOS
+        # convention (cone_utils.jl:99-170, make_logbarrier_constraint):
+        # s = h - Gv with exp(s_x / s_z) <= s_y / s_z, s_z > 0
+        for _ in range(int(e)):
+            exp_blocks.append((G_full[r:r + 3], h_adj[r:r + 3]))
+            r += 3
         aux_off += n_aux
 
     # pad earlier box rows (over z) to nv columns
@@ -234,22 +282,40 @@ def cone_solve_with_extras(
     Gl = np.concatenate(Gl_list, axis=0) if Gl_list else np.zeros((0, nv))
     hl = np.concatenate(hl_rows) if hl_rows else np.zeros(0)
 
+    if exp_blocks:
+        # exponential cones make the program non-symmetric: solved on the
+        # host (scipy, convex) — the reference also solves these on CPU
+        # (ECOS); pmpc_tpu's own logbarrier smoothing never reaches here
+        # (it is the TPU central-path solve, see solvers/ipm.py mu_target)
+        Gl_np = np.concatenate(
+            [np.pad(G, ((0, 0), (0, nv - G.shape[1]))) for G in Gl_rows], axis=0
+        ) if Gl_rows else np.zeros((0, nv))
+        hl_np = np.concatenate(hl_rows) if hl_rows else np.zeros(0)
+        v = _solve_exp_host(H_ext, q_ext, Gl_np, hl_np, soc_blocks, exp_blocks)
+        v = np.asarray(v)
+        w = v[:nz]
+        U = np.zeros((M, N, udim))
+        for i in range(M):
+            ui = np.concatenate([w[:nc], w[nc + i * nf: nc + (i + 1) * nf]])
+            U[i] = ui.reshape(N, udim)
+        X = (Xmap @ w + xoff).reshape(M, N, xdim)
+        data = dict(solver_state=settings.get("solver_state"),
+                    ipm_converged=True, exp_host_fallback=True, aux=v[nz:])
+        return X, U, data
+
     ncones = len(soc_blocks)
     pmax = max((g.shape[0] for g, _ in soc_blocks), default=1)
     Gq = np.zeros((ncones, pmax, nv))
     hq = np.zeros((ncones, pmax))
-    qmask = np.zeros((ncones, pmax), dtype=bool)
     for i, (g, hh) in enumerate(soc_blocks):
         p = g.shape[0]
         Gq[i, :p] = g
         hq[i, :p] = hh
-        qmask[i, :p] = True
 
     prob = ConeLP(
         P=jnp.asarray(H_ext, dtype=dtype), q=jnp.asarray(q_ext, dtype=dtype),
         Gl=jnp.asarray(Gl, dtype=dtype), hl=jnp.asarray(hl, dtype=dtype),
         Gq=jnp.asarray(Gq, dtype=dtype), hq=jnp.asarray(hq, dtype=dtype),
-        qmask=jnp.asarray(qmask),
     )
     iters = int(settings.get("ipm_iters", 35))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))

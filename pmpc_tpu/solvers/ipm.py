@@ -210,9 +210,12 @@ def ipm_core(
             return u.at[:, 0].add(shift)
         n_act = (jnp.sum(mask) + jnp.sum(rmask)).astype(dtype)
     else:
+        # dummy single-element placeholders, NOT zero-sized: 0-sized arrays in
+        # a while_loop carry have produced pathological (hour+) compiles
+        # through the axon remote-compile service
         nq, p = 0, 1
-        e_soc = jnp.zeros((0, 1), dtype)
-        rmaskf = jnp.zeros((0,), dtype)
+        e_soc = jnp.zeros((1, 1), dtype)
+        rmaskf = jnp.zeros((1,), dtype)
         n_act = jnp.sum(mask).astype(dtype)
     n_act = jnp.maximum(n_act, 1.0)
 

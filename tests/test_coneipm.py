@@ -40,20 +40,17 @@ def _pack(P, q, Gl, hl, socs, pmax=None):
     nv = P.shape[0]
     Gq = np.zeros((max(ncones, 1), pmax, nv))
     hq = np.zeros((max(ncones, 1), pmax))
-    qmask = np.zeros((max(ncones, 1), pmax), dtype=bool)
     for i, (g, h) in enumerate(socs):
         p = g.shape[0]
         Gq[i, :p] = g
         hq[i, :p] = h
-        qmask[i, :p] = True
     if ncones == 0:
         Gq = np.zeros((0, pmax, nv))
         hq = np.zeros((0, pmax))
-        qmask = np.zeros((0, pmax), dtype=bool)
     return ConeLP(
         P=jnp.asarray(P), q=jnp.asarray(q),
         Gl=jnp.asarray(Gl), hl=jnp.asarray(hl),
-        Gq=jnp.asarray(Gq), hq=jnp.asarray(hq), qmask=jnp.asarray(qmask),
+        Gq=jnp.asarray(Gq), hq=jnp.asarray(hq),
     )
 
 

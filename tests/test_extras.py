@@ -157,3 +157,67 @@ def test_terminal_cross_particle_cost_Hf():
     z = oracle.solve_eq_kkt(P, q, A, b)
     X_o, U_o = oracle.split_z(z, N, xdim, udim, M, Nc)
     np.testing.assert_allclose(U1, U_o, atol=1e-5)
+
+
+def test_exp_cone_extra_constraint_host_fallback():
+    """User exp-cone extra constraints (reference-legal: cone_utils.jl encodes
+    logbarrier terms as exp cones) solve on the host fallback. Encoding under
+    this framework's s = h - Gz convention: minimize +t subject to
+    exp(-a t) <= a (b - g'z), i.e. t >= -(1/a) log(a (b - g'z)) — so the
+    optimum equals the barrier optimum min f(z) - (1/a) log(a (b - g'z)) + t*,
+    checked against an independent damped-Newton barrier solve."""
+    rng = np.random.default_rng(11)
+    M, N, xdim, udim, Nc = 1, 5, 3, 2, 5
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    alpha, b_lim = 25.0, 0.2
+    nc, nf = Nc * udim, (N - Nc) * udim
+    nu_total = nc + M * nf
+    n_full = nu_total + M * N * xdim
+    # constrain the first coordinate of u_0: g'z <= b_lim
+    g = np.zeros(n_full)
+    g[0] = 1.0
+    G_left = np.vstack([np.zeros(n_full), alpha * g, np.zeros(n_full)])
+    G_right = np.array([[alpha], [0.0], [0.0]])
+    h = np.array([0.0, alpha * b_lim, 1.0])
+    c_left = np.zeros(n_full)
+    c_right = np.array([1.0])
+    ec = (0, [], 1, G_left, G_right, h, c_left, c_right)
+
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    X, U, data = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None,
+        Nc=Nc, settings=dict(extra_cstrs=[ec]),
+    )
+    assert data.get("exp_host_fallback"), data
+
+    # independent barrier optimum: damped Newton on the equality-constrained
+    # optimality system of f(z) - (1/alpha) log(alpha (b - g'z))
+    P, q = oracle.build_Pq(**p, reg_x=1.0, reg_u=0.1, slew_reg=np.zeros(M),
+                           slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)), Nc=Nc)
+    A, bb = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"],
+                            p["X_prev"], p["U_prev"], Nc)
+    n = P.shape[0]
+    z = oracle.solve_eq_kkt(P, q, A, bb)
+    z[0] = min(z[0], 0.9 * b_lim)
+    nu = np.zeros(A.shape[0])
+    for _ in range(60):
+        slack = b_lim - g @ z
+        rz = P @ z + q + g / (alpha * slack) + A.T @ nu
+        ra = A @ z - bb
+        H = P + np.outer(g, g) / (alpha * slack**2)
+        KKT = np.block([[H, A.T], [A, np.zeros((A.shape[0], A.shape[0]))]])
+        step = np.linalg.solve(KKT, -np.concatenate([rz, ra]))
+        dz, dnu = step[:n], step[n:]
+        dslack = -(g @ dz)
+        amax = (-slack / dslack) if dslack < 0 else np.inf
+        a = min(1.0, 0.99 * amax)
+        z, nu = z + a * dz, nu + a * dnu
+        if max(np.abs(rz).max(), np.abs(ra).max()) < 1e-12:
+            break
+    X_o, U_o = oracle.split_z(z, N, xdim, udim, M, Nc)
+    np.testing.assert_allclose(U, U_o, atol=5e-4)
