@@ -165,69 +165,239 @@ static void chol_solve(const std::vector<double>& L, int64_t n, double* x) {
   }
 }
 
+}  // extern "C"
+
 // ---------------------------------------------------------------------------
 // ADMM box QP:  min 0.5 z'Pz + q'z  s.t.  A z = b,  lo <= z <= hi
 // (operator splitting over C = [A; I], eq rows clamped to b)
+//
+// Persistent solver object with the reference OSQP adapter's incremental and
+// proximal-operator API (PMPC.jl/src/osqp_solver.jl:83-207): update_q is
+// free, update_P refactors, prox_setup adds diag(mask) to P and snapshots
+// (P, q) so repeated prox(bias) calls reuse one factorization; solver state
+// (x, duals) persists across solves for warm starting.
 // ---------------------------------------------------------------------------
 
+namespace {
+
+struct AdmmSolver {
+  int64_t n = 0, meq = 0;
+  double rho = 1.0, sigma = 1e-6;
+  std::vector<double> P, q, A, b, lo, hi;   // problem data
+  std::vector<double> P_snap, q_snap;       // prox snapshots (empty = none)
+  std::vector<double> K;                    // Cholesky factor of the KKT
+  bool factored = false;
+  // persistent iterates (warm start across solves)
+  std::vector<double> x, s_eq, s_box, y_eq, y_box;
+
+  bool refactor() {
+    K.assign(n * n, 0.0);
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < n; ++j) {
+        double v = P[i * n + j];
+        if (i == j) v += sigma + rho;
+        for (int64_t r = 0; r < meq; ++r)
+          v += rho * A[r * n + i] * A[r * n + j];
+        K[i * n + j] = v;
+      }
+    factored = chol_factor(K, n);
+    return factored;
+  }
+
+  void reset_iterates() {
+    x.assign(n, 0.0);
+    y_eq.assign(meq, 0.0);
+    y_box.assign(n, 0.0);
+    s_eq.assign(b.begin(), b.end());
+    s_box.assign(n, 0.0);
+    for (int64_t i = 0; i < n; ++i)
+      s_box[i] = std::fmin(std::fmax(0.0, lo[i]), hi[i]);
+  }
+
+  int64_t solve(int64_t max_iter, double eps, double* z_out,
+                int64_t* iters_out) {
+    if (!factored && !refactor()) return -1;
+    std::vector<double> rhs(n);
+    int64_t it = 0;
+    for (; it < max_iter; ++it) {
+      for (int64_t i = 0; i < n; ++i) {
+        double v = sigma * x[i] - q[i] + rho * s_box[i] - y_box[i];
+        for (int64_t r = 0; r < meq; ++r)
+          v += A[r * n + i] * (rho * s_eq[r] - y_eq[r]);
+        rhs[i] = v;
+      }
+      chol_solve(K, n, rhs.data());
+      for (int64_t i = 0; i < n; ++i) x[i] = rhs[i];
+      double rp = 0.0, ax;
+      for (int64_t r = 0; r < meq; ++r) {
+        ax = 0.0;
+        for (int64_t i = 0; i < n; ++i) ax += A[r * n + i] * x[i];
+        s_eq[r] = b[r];  // projection of eq rows is b
+        y_eq[r] += rho * (ax - b[r]);
+        rp = std::fmax(rp, std::fabs(ax - b[r]));
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        double v = x[i] + y_box[i] / rho;
+        double pz = std::fmin(std::fmax(v, lo[i]), hi[i]);
+        y_box[i] += rho * (x[i] - pz);
+        rp = std::fmax(rp, std::fabs(x[i] - pz));
+        s_box[i] = pz;
+      }
+      if (rp < eps && it > 3) break;
+    }
+    for (int64_t i = 0; i < n; ++i) z_out[i] = s_box[i];
+    // states are not box-projected when unbounded: prefer x for those entries
+    for (int64_t i = 0; i < n; ++i)
+      if (!(lo[i] > -1e19 || hi[i] < 1e19)) z_out[i] = x[i];
+    *iters_out = it;
+    return (it < max_iter) ? 0 : 1;
+  }
+};
+
+std::vector<AdmmSolver*>& registry() {
+  static std::vector<AdmmSolver*> reg;
+  return reg;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t pmpc_admm_create(int64_t n, int64_t meq, const double* P,
+                         const double* q, const double* A, const double* b,
+                         const double* lo, const double* hi, double rho,
+                         double sigma) {
+  AdmmSolver* s = new AdmmSolver();
+  s->n = n;
+  s->meq = meq;
+  s->rho = rho;
+  s->sigma = sigma;
+  s->P.assign(P, P + n * n);
+  s->q.assign(q, q + n);
+  s->A.assign(A, A + meq * n);
+  s->b.assign(b, b + meq);
+  s->lo.assign(lo, lo + n);
+  s->hi.assign(hi, hi + n);
+  s->reset_iterates();
+  if (!s->refactor()) {
+    delete s;
+    return -1;
+  }
+  registry().push_back(s);
+  return static_cast<int64_t>(registry().size()) - 1;
+}
+
+static AdmmSolver* get(int64_t h) {
+  auto& reg = registry();
+  if (h < 0 || h >= static_cast<int64_t>(reg.size())) return nullptr;
+  return reg[h];
+}
+
+int64_t pmpc_admm_destroy(int64_t h) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  delete s;
+  registry()[h] = nullptr;
+  return 0;
+}
+
+// incremental updates (set_q! is free; set_P!/set_A!/set_bounds! refactor as
+// needed — parity with osqp_solver.jl:83-168)
+int64_t pmpc_admm_set_q(int64_t h, const double* q) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->q.assign(q, q + s->n);
+  return 0;
+}
+
+int64_t pmpc_admm_set_P(int64_t h, const double* P) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->P.assign(P, P + s->n * s->n);
+  return s->refactor() ? 0 : -2;
+}
+
+int64_t pmpc_admm_set_bounds(int64_t h, const double* lo, const double* hi) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->lo.assign(lo, lo + s->n);
+  s->hi.assign(hi, hi + s->n);
+  return 0;
+}
+
+int64_t pmpc_admm_set_b(int64_t h, const double* b) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->b.assign(b, b + s->meq);
+  return 0;
+}
+
+// proximal-operator API (osqp_solver.jl:173-207): after prox_setup(mask),
+// prox(bias) solves  min f0(z) + 0.5 z'diag(mask)z + bias'z  reusing ONE
+// factorization — i.e. with bias = -mask .* v it evaluates
+// prox_{f0, mask}(v) = argmin f0(z) + 0.5 ||z - v||^2_diag(mask).
+int64_t pmpc_admm_prox_setup(int64_t h, const double* mask) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->P_snap = s->P;
+  s->q_snap = s->q;
+  for (int64_t i = 0; i < s->n; ++i) s->P[i * s->n + i] += mask[i];
+  return s->refactor() ? 0 : -2;
+}
+
+int64_t pmpc_admm_prox(int64_t h, const double* bias, int64_t max_iter,
+                       double eps, double* z_out, int64_t* iters_out) {
+  AdmmSolver* s = get(h);
+  if (!s || s->q_snap.empty()) return -1;
+  for (int64_t i = 0; i < s->n; ++i) s->q[i] = s->q_snap[i] + bias[i];
+  return s->solve(max_iter, eps, z_out, iters_out);
+}
+
+int64_t pmpc_admm_prox_reset(int64_t h) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  if (s->P_snap.empty()) return 0;
+  s->P = s->P_snap;
+  s->q = s->q_snap;
+  s->P_snap.clear();
+  s->q_snap.clear();
+  return s->refactor() ? 0 : -2;
+}
+
+int64_t pmpc_admm_solve(int64_t h, int64_t max_iter, double eps,
+                        double* z_out, int64_t* iters_out) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  return s->solve(max_iter, eps, z_out, iters_out);
+}
+
+int64_t pmpc_admm_cold_start(int64_t h) {
+  AdmmSolver* s = get(h);
+  if (!s) return -1;
+  s->reset_iterates();
+  return 0;
+}
+
+// one-shot convenience wrapper (previous API, kept for compatibility)
 int64_t pmpc_admm_box_qp(int64_t n, int64_t meq, const double* P,
                          const double* q, const double* A, const double* b,
                          const double* lo, const double* hi, double rho,
                          double sigma, int64_t max_iter, double eps,
                          double* z_out, int64_t* iters_out) {
-  // K = P + sigma I + rho (A'A + I)
-  std::vector<double> K(n * n);
-  for (int64_t i = 0; i < n; ++i)
-    for (int64_t j = 0; j < n; ++j) {
-      double v = P[i * n + j];
-      if (i == j) v += sigma + rho;
-      for (int64_t r = 0; r < meq; ++r) v += rho * A[r * n + i] * A[r * n + j];
-      K[i * n + j] = v;
-    }
-  if (!chol_factor(K, n)) return -1;
-
-  std::vector<double> x(n, 0.0), s_eq(meq), s_box(n), y_eq(meq, 0.0),
-      y_box(n, 0.0), rhs(n), Ax(meq);
-  for (int64_t r = 0; r < meq; ++r) s_eq[r] = b[r];
-  for (int64_t i = 0; i < n; ++i)
-    s_box[i] = std::fmin(std::fmax(0.0, lo[i]), hi[i]);
-
-  int64_t it = 0;
-  for (; it < max_iter; ++it) {
-    // x-update
-    for (int64_t i = 0; i < n; ++i) {
-      double v = sigma * x[i] - q[i] + rho * s_box[i] - y_box[i];
-      for (int64_t r = 0; r < meq; ++r)
-        v += A[r * n + i] * (rho * s_eq[r] - y_eq[r]);
-      rhs[i] = v;
-    }
-    chol_solve(K, n, rhs.data());
-    for (int64_t i = 0; i < n; ++i) x[i] = rhs[i];
-    // slack updates + duals
-    double rp = 0.0, ax;
-    for (int64_t r = 0; r < meq; ++r) {
-      ax = 0.0;
-      for (int64_t i = 0; i < n; ++i) ax += A[r * n + i] * x[i];
-      Ax[r] = ax;
-      s_eq[r] = b[r];  // projection of eq rows is b
-      y_eq[r] += rho * (ax - b[r]);
-      rp = std::fmax(rp, std::fabs(ax - b[r]));
-    }
-    for (int64_t i = 0; i < n; ++i) {
-      double v = x[i] + y_box[i] / rho;
-      double pz = std::fmin(std::fmax(v, lo[i]), hi[i]);
-      y_box[i] += rho * (x[i] - pz);
-      rp = std::fmax(rp, std::fabs(x[i] - pz));
-      s_box[i] = pz;
-    }
-    if (rp < eps && it > 3) break;
-  }
-  for (int64_t i = 0; i < n; ++i) z_out[i] = s_box[i];
-  // states are not box-projected when unbounded: prefer x for those entries
-  for (int64_t i = 0; i < n; ++i)
-    if (!(lo[i] > -1e19 || hi[i] < 1e19)) z_out[i] = x[i];
-  *iters_out = it;
-  return (it < max_iter) ? 0 : 1;
+  AdmmSolver s;
+  s.n = n;
+  s.meq = meq;
+  s.rho = rho;
+  s.sigma = sigma;
+  s.P.assign(P, P + n * n);
+  s.q.assign(q, q + n);
+  s.A.assign(A, A + meq * n);
+  s.b.assign(b, b + meq);
+  s.lo.assign(lo, lo + n);
+  s.hi.assign(hi, hi + n);
+  s.reset_iterates();
+  if (!s.refactor()) return -1;
+  return s.solve(max_iter, eps, z_out, iters_out);
 }
 
 }  // extern "C"

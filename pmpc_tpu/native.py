@@ -62,6 +62,26 @@ def load() -> Optional[ctypes.CDLL]:
         i64, i64, _f64p, _f64p, _f64p, _f64p, _f64p, _f64p,
         f64, f64, i64, f64, _f64p, _i64p,
     ]
+    lib.pmpc_admm_create.restype = i64
+    lib.pmpc_admm_create.argtypes = [i64, i64] + [_f64p] * 6 + [f64, f64]
+    for name, extra in (
+        ("pmpc_admm_destroy", []),
+        ("pmpc_admm_set_q", [_f64p]),
+        ("pmpc_admm_set_P", [_f64p]),
+        ("pmpc_admm_set_b", [_f64p]),
+        ("pmpc_admm_set_bounds", [_f64p, _f64p]),
+        ("pmpc_admm_prox_setup", [_f64p]),
+        ("pmpc_admm_prox_reset", []),
+        ("pmpc_admm_cold_start", []),
+    ):
+        fn = getattr(lib, name)
+        fn.restype = i64
+        fn.argtypes = [i64] + extra
+    for name in ("pmpc_admm_solve", "pmpc_admm_prox"):
+        fn = getattr(lib, name)
+        fn.restype = i64
+        fn.argtypes = [i64] + ([_f64p] if name.endswith("prox") else []) \
+            + [i64, f64, _f64p, _i64p]
     _LIB = lib
     return _LIB
 
@@ -121,3 +141,83 @@ def admm_box_qp(
         z, ctypes.byref(iters),
     )
     return z, int(status), int(iters.value)
+
+
+class AdmmSolver:
+    """Persistent native ADMM solver with the reference OSQP adapter's
+    incremental-update and proximal-operator API
+    (``PMPC.jl/src/osqp_solver.jl:83-207``): ``set_q`` is free, ``set_P``
+    refactors, ``prox_setup(mask)`` adds diag(mask) to P (one refactor) and
+    ``prox(bias)`` then evaluates proximal points reusing that factorization.
+    The internal iterates persist across solves (warm starting)."""
+
+    def __init__(self, P, q, A, b, lo, hi, rho: float = 1.0, sigma: float = 1e-6):
+        self._lib = load()
+        assert self._lib is not None, "native library unavailable"
+        c = lambda a: np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+        P, q, A, b, lo, hi = map(c, (P, q, A, b, lo, hi))
+        self.n, self.meq = P.shape[0], A.shape[0]
+        self._h = int(self._lib.pmpc_admm_create(
+            self.n, self.meq, P, q, A, b, lo, hi, float(rho), float(sigma)))
+        assert self._h >= 0, "ADMM setup failed (KKT not positive definite)"
+
+    def _arr(self, a, shape):
+        out = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+        assert out.shape == shape, (out.shape, shape)
+        return out
+
+    def set_q(self, q):
+        assert self._lib.pmpc_admm_set_q(self._h, self._arr(q, (self.n,))) == 0
+
+    def set_P(self, P):
+        assert self._lib.pmpc_admm_set_P(self._h, self._arr(P, (self.n, self.n))) == 0
+
+    def set_b(self, b):
+        assert self._lib.pmpc_admm_set_b(self._h, self._arr(b, (self.meq,))) == 0
+
+    def set_bounds(self, lo, hi):
+        assert self._lib.pmpc_admm_set_bounds(
+            self._h, self._arr(lo, (self.n,)), self._arr(hi, (self.n,))) == 0
+
+    def prox_setup(self, mask):
+        assert self._lib.pmpc_admm_prox_setup(
+            self._h, self._arr(mask, (self.n,))) == 0
+
+    def prox(self, bias, max_iter: int = 4000, eps: float = 1e-9):
+        """argmin f0(z) + 0.5 z'diag(mask)z + bias'z (after prox_setup)."""
+        z = np.zeros(self.n)
+        iters = ctypes.c_int64(0)
+        status = self._lib.pmpc_admm_prox(
+            self._h, self._arr(bias, (self.n,)), int(max_iter), float(eps),
+            z, ctypes.byref(iters))
+        assert status >= 0, "prox before prox_setup?"
+        return z, int(status), int(iters.value)
+
+    def prox_point(self, v, mask, max_iter: int = 4000, eps: float = 1e-9):
+        """prox_{f0, mask}(v) = argmin f0(z) + 0.5 ||z - v||^2_diag(mask)."""
+        return self.prox(-np.asarray(mask, float) * np.asarray(v, float),
+                         max_iter=max_iter, eps=eps)
+
+    def prox_reset(self):
+        assert self._lib.pmpc_admm_prox_reset(self._h) == 0
+
+    def cold_start(self):
+        assert self._lib.pmpc_admm_cold_start(self._h) == 0
+
+    def solve(self, max_iter: int = 4000, eps: float = 1e-9):
+        z = np.zeros(self.n)
+        iters = ctypes.c_int64(0)
+        status = self._lib.pmpc_admm_solve(
+            self._h, int(max_iter), float(eps), z, ctypes.byref(iters))
+        return z, int(status), int(iters.value)
+
+    def close(self):
+        if self._h >= 0:
+            self._lib.pmpc_admm_destroy(self._h)
+            self._h = -1
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

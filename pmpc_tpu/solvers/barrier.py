@@ -152,7 +152,31 @@ def barrier_core(
     return uc, uf, dict(obj=fval)
 
 
-@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters", "extra_obj", "N", "xdim", "udim"))
+#: stable function object per cloudpickle byte-hash: jit keys static callables
+#: by IDENTITY, so a fresh diff_cost_fn closure per SCP iteration would
+#: recompile every call — equal-code closures are canonicalized to one object
+_FN_REGISTRY: Dict[bytes, Any] = {}
+
+
+def canonical_fn(fn):
+    """Return a stable equivalent of ``fn`` keyed by its cloudpickle bytes
+    (parity with the reference's fn-hash solver registry,
+    ``solver_definitions.py:92-105`` / ``remote.py:41-55``)."""
+    if fn is None:
+        return None
+    try:
+        import hashlib
+
+        import cloudpickle
+
+        key = hashlib.sha256(cloudpickle.dumps(fn)).digest()
+    except Exception:
+        return fn
+    return _FN_REGISTRY.setdefault(key, fn)
+
+
+@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "iters", "extra_obj",
+                                   "N", "xdim", "udim", "memory_size"))
 @with_matmul_precision("highest")
 def lbfgs_core(
     cqp: CondensedQP,
@@ -167,6 +191,7 @@ def lbfgs_core(
     N: int = 0,
     xdim: int = 0,
     udim: int = 0,
+    memory_size: int = 10,
 ):
     """L-BFGS on the smoothed objective (optax), role parity with the reference
     experimental solvers BFGS/LBFGS (``solver_definitions.py:25-28,137-145``).
@@ -213,7 +238,8 @@ def lbfgs_core(
             pen = pen + extra_obj(X, U)
         return quad + pen
 
-    opt = optax.lbfgs()
+    # memory_size = iters emulates full-memory BFGS (the "BFGS" solver name)
+    opt = optax.lbfgs(memory_size=memory_size)
     params = (jnp.mean(cqp.w_prev[:, :nc], axis=0), cqp.w_prev[:, nc:])
     state = opt.init(params)
     value_and_grad = optax.value_and_grad_from_state(objective)
@@ -229,6 +255,39 @@ def lbfgs_core(
     (params, state), _ = lax.scan(step, (params, state), None, length=iters)
     uc, uf = params
     return uc, uf, dict(obj=objective(params))
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _dense_objective_fn(method: str, extra_obj, M: int, N: int, xdim: int,
+                        udim: int, nc: int):
+    """Cached module-level smoothed objective over the stacked z (dense
+    CVX/SQP solvers). All problem data arrives as traced args so repeated
+    calls with fresh arrays hit the jit cache."""
+    nf = N * udim - nc
+
+    def objective(z, Hcc, Hcf, Hff, qc, qf, Ft, g,
+                  lo_c, hi_c, lo_f, hi_f, lo_x, hi_x, alpha, beta):
+        uc = z[:nc]
+        uf = z[nc:].reshape(M, nf)
+        quad = 0.5 * uc @ (Hcc @ uc) + qc @ uc
+        quad += jnp.sum(uf * jnp.einsum("mij,mj->mi", Hff, uf)) * 0.5
+        quad += jnp.sum(jnp.einsum("mij,mj->mi", Hcf, uf) * uc)
+        quad += jnp.sum(qf * uf)
+        w = jnp.concatenate([jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)
+        x = jnp.einsum("mij,mj->mi", Ft, w) + g
+        pen = jnp.asarray(0.0, z.dtype)
+        for lo, hi, v in ((lo_c, hi_c, uc), (lo_f, hi_f, uf), (lo_x, hi_x, x)):
+            for mask, y in ((jnp.isfinite(lo), lo - v), (jnp.isfinite(hi), v - hi)):
+                pen += jnp.sum(jnp.where(
+                    mask, _phi(method, jnp.where(mask, y, -1.0), alpha, beta)[0], 0.0))
+        if extra_obj is not None:
+            pen += extra_obj(x.reshape(M, N, xdim), w.reshape(M, N, udim))
+        return quad + pen
+
+    return objective
 
 
 def barrier_solve_np(
@@ -257,13 +316,43 @@ def barrier_solve_np(
     has_u = u_l is not None or u_u is not None
     has_x = x_l is not None or x_u is not None
 
-    if extra_obj is not None or str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
+    solver_name = str(settings.get("solver", "")).upper()
+    extra_obj = canonical_fn(extra_obj)
+
+    if solver_name in ("CVX", "SQP"):
+        # dense second-order solvers over the stacked variable (registry
+        # parity with solver_definitions.py SOLVER_CVX / SOLVER_SQP)
+        from .second_order import dense_newton_solve
+
+        obj_z = _dense_objective_fn(method, extra_obj, M, N, xdim, udim, nc)
+        obj_args = (cqp.Hcc, cqp.Hcf, cqp.Hff, cqp.qc, cqp.qf, cqp.Ft, cqp.g,
+                    bounds.lo_c, bounds.hi_c, bounds.lo_f, bounds.hi_f,
+                    bounds.lo_x, bounds.hi_x,
+                    jnp.asarray(alpha, dtype), jnp.asarray(beta, dtype))
+        z0 = np.concatenate(
+            [np.mean(np.asarray(cqp.w_prev)[:, :nc], axis=0),
+             np.asarray(cqp.w_prev)[:, nc:].reshape(-1)])
+        z, obj = dense_newton_solve(
+            obj_z, jnp.asarray(z0, dtype), obj_args,
+            iters=int(settings.get("newton_iters", 30)),
+            ls_steps=int(settings.get("ls_steps", 25)),
+            regularized=solver_name == "SQP",
+        )
+        z = np.asarray(z)
+        uc, uf = jnp.asarray(z[:nc]), jnp.asarray(z[nc:].reshape(M, nf))
+        X, U = recover_XU(cqp, uc, uf, N=N)
+        return (np.asarray(X), np.asarray(U),
+                dict(solver_state=settings.get("solver_state"), obj=float(obj)))
+
+    if extra_obj is not None or solver_name in ("BFGS", "LBFGS"):
         # arbitrary additive costs need a general smooth solver: L-BFGS
+        iters = int(settings.get("max_it", 100 if extra_obj is None else 200))
         uc, uf, stats = lbfgs_core(
             cqp, bounds, method=method, alpha=alpha, beta=beta,
             has_u=has_u, has_x=has_x,
-            iters=int(settings.get("max_it", 100 if extra_obj is None else 200)),
+            iters=iters,
             extra_obj=extra_obj, N=N, xdim=xdim, udim=udim,
+            memory_size=iters if solver_name == "BFGS" else 10,
         )
         X, U = recover_XU(cqp, uc, uf, N=N)
         return (np.asarray(X), np.asarray(U),

@@ -207,9 +207,9 @@ def affine_solve_np(
 
     if smooth_cstr == "logbarrier":
         alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)
-        if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS"):
-            # experimental-stack parity: first-order solve of the smoothed
-            # objective (solver_definitions.py BFGS/LBFGS)
+        if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS", "CVX", "SQP"):
+            # experimental-stack parity: named smooth solvers on the smoothed
+            # objective (solver_definitions.py BFGS/LBFGS/CVX/SQP registry)
             from .barrier import barrier_solve_np
 
             return barrier_solve_np(
