@@ -139,3 +139,49 @@ def test_fused_scp_solver_with_socs():
     )
     X0, U0, _ = solver0(data)
     assert np.linalg.norm(np.asarray(U0), axis=-1).max() > umax + 0.05
+
+
+def test_partial_soc_radii_inf_masks_cones():
+    """+inf radii disable individual cones; only finite-radius stages bind."""
+    rng = np.random.default_rng(12)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    r = np.full((M, N), np.inf)
+    r[:, :3] = 0.4  # cones on the first three stages only
+    X, U, data = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None,
+        Nc=Nc, settings=dict(u_soc_r=r, ipm_iters=40, ipm_tol_exp=-8),
+    )
+    assert data["ipm_converged"], data
+    norms = np.linalg.norm(U, axis=-1)
+    assert norms[:, :3].max() <= 0.4 + 1e-6
+    # unconstrained comparison: later stages must be unaffected by the cones
+    X0, U0, _ = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc, settings={},
+    )
+    assert np.linalg.norm(U0, axis=-1)[:, :3].max() > 0.4, "cones should bind"
+
+
+def test_soc_warm_start_cuts_iterations():
+    """solver_state warm starts carry the cone duals too."""
+    f_fn = dubins_f_fx_fu_fn()
+    N, xdim, udim = 10, 4, 2
+    import pmpc_tpu
+
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    X, U, data = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim), max_it=8, res_tol=1e-9, verbose=False,
+        solver_settings=dict(u_soc_r=np.full((1, N), 0.8)),
+    )
+    iters = [sd["ipm_iters"] for sd in data["solver_data"]]
+    assert min(iters[1:]) < iters[0], iters
+    assert np.linalg.norm(U, axis=-1).max() <= 0.8 + 1e-5
