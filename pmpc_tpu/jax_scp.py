@@ -242,10 +242,15 @@ def build_scp_solver(
         new_resid = jnp.maximum(
             jnp.max(jnp.linalg.norm(dX, axis=-1)), jnp.max(jnp.linalg.norm(dU, axis=-1))
         )
-        now_done = new_resid < res_tol
         # non-finite subproblem solution: fall back to the previous iterate
         # (per-iteration NaN guard of the reference GPU path, jax_solver.py:151-154)
         bad = ~jnp.isfinite(new_resid)
+        if has_u_soc:
+            # a gave-up cone IPM returns an iterate with NO feasibility
+            # guarantee (it froze mid-solve): reject it — keep the last
+            # accepted iterate, whose solve converged to its tolerance
+            bad = bad | stats["failed"]
+        now_done = (new_resid < res_tol) & ~bad
 
         freeze = done | bad
         X_out = jnp.where(freeze, X_prev, X)
@@ -258,6 +263,10 @@ def build_scp_solver(
         if collect_stats:
             ipm_it = stats["iters"] if has_bounds else jnp.asarray(0, jnp.int32)
             ys = dict(ipm_iters=ipm_it, resid=new_resid)
+            if has_bounds:
+                ys["ipm_failed"] = stats["failed"]
+                ys["ipm_converged"] = stats["converged"]
+                ys["accepted"] = ~freeze
         return (X_out, U_out, it_out, done | now_done, resid_out, warm_out), ys
 
     @with_matmul_precision("highest")

@@ -96,15 +96,23 @@ def _soc_inv(u):
 
 
 def _soc_step_len(s, ds):
-    """Largest alpha in [0, inf) with s + alpha ds in the SOC (padded ok)."""
+    """Largest alpha in [0, inf) with s + alpha ds in the SOC (padded ok).
+
+    Boundary crossings are roots of det(s + t ds) = a t^2 + b t + c with
+    c = det(s) >= 0 (current point inside). The roots use the
+    cancellation-stable form (q = -(b + sign(b) sqrt(disc))/2; roots q/a and
+    c/q) — the naive (-b - sqrt(disc))/(2a) cancels catastrophically in f32
+    near-tangent steps. disc itself can still round to the wrong sign at
+    near-tangency; the IPM treats any resulting cone escape as a breakdown."""
     a = ds[0] ** 2 - jnp.sum(ds[1:] ** 2)
     b = 2.0 * (s[0] * ds[0] - jnp.sum(s[1:] * ds[1:]))
     c = s[0] ** 2 - jnp.sum(s[1:] ** 2)
     disc = b * b - 4.0 * a * c
     sqrt_disc = jnp.sqrt(jnp.maximum(disc, 0.0))
-    # roots of a t^2 + b t + c = 0
-    r1 = jnp.where(jnp.abs(a) > 1e-30, (-b - sqrt_disc) / (2 * a), -c / jnp.where(jnp.abs(b) > 1e-30, b, -1e-30))
-    r2 = jnp.where(jnp.abs(a) > 1e-30, (-b + sqrt_disc) / (2 * a), jnp.inf)
+    sgn_b = jnp.where(b < 0, -1.0, 1.0)
+    qq = -0.5 * (b + sgn_b * sqrt_disc)
+    r1 = jnp.where(jnp.abs(a) > 1e-30, qq / a, jnp.inf)
+    r2 = jnp.where(jnp.abs(qq) > 1e-30, c / qq, jnp.inf)
     # also the first coordinate must stay nonneg: s0 + alpha ds0 >= 0
     r0 = jnp.where(ds[0] < 0, -s[0] / jnp.where(ds[0] < 0, ds[0], -1.0), jnp.inf)
     # if no boundary crossing (disc < 0) the quadratic roots are irrelevant
@@ -268,6 +276,12 @@ def cone_qp_solve(
         # only repeated breakdowns give up
         step_bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(jnp.sum(v_n))) \
             | (mu_n > jnp.maximum(1e4 * mu_prev, 1e12))
+        if ncones:
+            # a missed boundary crossing (f32 discriminant rounding in
+            # _soc_step_len) can land sq/zq OUTSIDE the cone, after which all
+            # later algebra is meaningless: treat the escape as a breakdown
+            _esc = lambda u_: jnp.max(jnp.linalg.norm(u_[:, 1:], axis=-1) - u_[:, 0])
+            step_bad = step_bad | (_esc(sq_n) > 0) | (_esc(zq_n) > 0)
 
         frozen = done | step_bad
         sel = lambda a_, b_: jnp.where(frozen, b_, a_)

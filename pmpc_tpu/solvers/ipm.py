@@ -83,6 +83,8 @@ class IPMState(NamedTuple):
     ok: jax.Array  # scalar bool (converged)
     iters: jax.Array  # iterations actually taken
     badc: jax.Array  # consecutive factorization/step breakdowns (retry counter)
+    failed: jax.Array  # scalar bool: gave up on repeated breakdowns (the
+    #                    returned iterate has NO feasibility guarantee)
 
 
 def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: bool):
@@ -107,7 +109,7 @@ def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: b
 
 
 @partial(jax.jit, static_argnames=("has_u", "has_x", "has_soc", "iters", "tol_exp",
-                                   "kappa", "mu_target", "tau"))
+                                   "kappa", "mu_target", "tau", "diagnostics"))
 @with_matmul_precision("highest")
 def ipm_core(
     cqp: CondensedQP,
@@ -123,6 +125,7 @@ def ipm_core(
     tau: Optional[float] = None,
     socs: Optional[SocSpec] = None,
     has_soc: bool = False,
+    diagnostics: bool = False,
 ):
     """Run the predictor-corrector IPM. Returns (uc, uf, stats dict of arrays).
 
@@ -287,7 +290,8 @@ def ipm_core(
     state0 = IPMState(uc0, uf0, s0, lam0, sq0, zq0, mu0,
                       jnp.asarray(False), jnp.asarray(False),
                       jnp.asarray(0, dtype=jnp.int32),
-                      jnp.asarray(0, dtype=jnp.int32))
+                      jnp.asarray(0, dtype=jnp.int32),
+                      jnp.asarray(False))
 
     def grad_lagrangian(uc, uf, lam, zq):
         """(gc, gf) = Hz + q + G'lam (+ cone duals); Hz in FACTORED form when
@@ -313,7 +317,7 @@ def ipm_core(
         return partial(body, mehrotra)
 
     def body(mehrotra, k, state):
-        uc, uf, s, lam, sq, zq, mu, done, ok, it_count, badc = state
+        uc, uf, s, lam, sq, zq, mu, done, ok, it_count, badc, failed = state
         sv = slack_vals(uc, uf)
         r_p = jnp.where(mask, s - sv, 0.0)
         gc, gf = grad_lagrangian(uc, uf, lam, zq)
@@ -340,16 +344,20 @@ def ipm_core(
             if Nf_soc:
                 Kff = Kff + jax.vmap(_block_diag)(
                     Bq[Nc_soc:].reshape(M, Nf_soc, udim, udim))
-        # breakdown retries boost the regularization: a near-singular K (cone
-        # scalings blow up ~1/mu near convergence) makes the factorization
-        # produce NaN; the retry re-solves the same iterate with extra jitter
-        diag_scale = jnp.mean(jnp.diagonal(Kff, axis1=-2, axis2=-1)) + 1.0 \
-            if nf else jnp.mean(jnp.abs(jnp.diag(Kcc))) + 1.0
-        boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-5, dtype) * diag_scale
-        if nc:
-            Kcc = Kcc + boost * jnp.eye(nc, dtype=dtype)
-        if nf:
-            Kff = Kff + boost * jnp.eye(nf, dtype=dtype)
+        if has_soc:
+            # breakdown retries boost the regularization: a near-singular K
+            # (cone scalings blow up ~1/mu near convergence) makes the
+            # factorization produce NaN; the retry re-solves the same iterate
+            # with extra jitter. Box-only problems don't hit this (they keep
+            # the freeze-on-bad contract) so the extra per-iteration ops are
+            # compiled out.
+            diag_scale = jnp.mean(jnp.diagonal(Kff, axis1=-2, axis2=-1)) + 1.0 \
+                if nf else jnp.mean(jnp.abs(jnp.diag(Kcc))) + 1.0
+            boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-5, dtype) * diag_scale
+            if nc:
+                Kcc = Kcc + boost * jnp.eye(nc, dtype=dtype)
+            if nf:
+                Kff = Kff + boost * jnp.eye(nf, dtype=dtype)
         F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
 
         def solve_K(bc_, bf_):
@@ -462,6 +470,15 @@ def ipm_core(
         if has_soc:
             sq_n = jnp.where(rmask[:, None], sq + ap * dsq, e_soc)
             zq_n = jnp.where(rmask[:, None], zq + ad * dzq, e_soc)
+            # f32 hazard: the step-length quadratic's discriminant cancels
+            # near the boundary, so a boundary crossing can be missed and a
+            # full step lands OUTSIDE the cone — after which the primal
+            # residual still contracts (it does so by construction) and the
+            # solver silently "converges" to an infeasible point. Detect the
+            # escape and treat it as a breakdown (-> restoration retry).
+            _esc = lambda v: jnp.max(
+                rmaskf * (jnp.linalg.norm(v[:, 1:], axis=-1) - v[:, 0]))
+            cone_escaped = (_esc(sq_n) > 0) | (_esc(zq_n) > 0)
         else:
             sq_n, zq_n = sq, zq
         mu_n = mu_of(s_n, lam_n, sq_n, zq_n)
@@ -495,18 +512,42 @@ def ipm_core(
         gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
         now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < gd_tol)
         now_bad = step_bad | (mu_n > 1e12)
-        badc_n = jnp.where(now_bad, badc + 1, 0)
-        give_up = badc_n >= 4  # repeated breakdowns: stop at the best iterate
+        if has_soc:
+            # convergence additionally requires the NEW primal point itself to
+            # be cone-feasible (the ultimate contract of the solve)
+            cvn = cone_vals(uc_n, uf_n)
+            viol_n = jnp.max(
+                rmaskf * (jnp.linalg.norm(cvn[:, 1:], axis=-1) - cvn[:, 0]))
+            now_done = now_done & (viol_n < jnp.sqrt(tol))
+            now_bad = now_bad | cone_escaped
+        if has_soc:
+            badc_n = jnp.where(now_bad, badc + 1, 0)
+            give_up = badc_n >= 4  # repeated breakdowns: stop at best iterate
+        else:
+            badc_n = badc
+            give_up = now_bad  # box path: freeze on the first bad step
 
         frozen = done | now_bad
         keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(frozen, b, a), new, old)
         new_state = IPMState(uc_n, uf_n, s_n, lam_n, sq_n, zq_n, mu_n,
                              jnp.asarray(False), ok | now_done, it_count + 1,
-                             badc_n)
+                             badc_n, failed)
         old_state = IPMState(uc, uf, s, lam, sq, zq, mu,
-                             jnp.asarray(False), ok, it_count + 1, badc_n)
+                             jnp.asarray(False), ok, it_count + 1, badc_n, failed)
         merged = keep(new_state, old_state)
-        return merged._replace(done=done | now_done | give_up, ok=ok | now_done)
+        if has_soc:
+            # restoration: a breakdown here is usually a cone point crashed
+            # into the boundary (f32: det(s) rounds to <= 0, the NT scaling
+            # overflows, the factorization NaNs) — regularization cannot fix
+            # the ITERATE, so shift the offending cone points back into the
+            # interior before the retry (shift_soc is a no-op on points that
+            # are comfortably interior)
+            retry = now_bad & ~done
+            sq_r = jnp.where(retry, shift_soc(merged.sq), merged.sq)
+            zq_r = jnp.where(retry, shift_soc(merged.zq), merged.zq)
+            merged = merged._replace(sq=sq_r, zq=zq_r)
+        return merged._replace(done=done | now_done | give_up, ok=ok | now_done,
+                               failed=failed | (give_up & ~ok & ~now_done))
 
     # while_loop: under vmap the loop stops when EVERY lane is done
     main_body = make_body(True)
@@ -520,17 +561,26 @@ def ipm_core(
         # hunts mu -> 0 and wobbles around the mu_target point
         state = state._replace(done=state.done & ~state.ok, ok=jnp.asarray(False))
         state = lax.fori_loop(0, 10, make_body(False), state)
-    # final KKT diagnostics (cheap: one residual evaluation)
-    gc_f, gf_f = grad_lagrangian(state.uc, state.uf, state.lam, state.zq)
-    gd_f = jnp.maximum(
-        jnp.max(jnp.abs(gc_f)) if gc_f.size else jnp.asarray(0.0, dtype),
-        jnp.max(jnp.abs(gf_f)) if gf_f.size else jnp.asarray(0.0, dtype),
-    )
-    rp_f = jnp.max(jnp.abs(jnp.where(mask, state.s - slack_vals(state.uc, state.uf), 0.0))) \
-        if mtot else jnp.asarray(0.0, dtype)
+    failed = state.failed
+    if has_soc:
+        # iteration-cap exits can leave any primal point; only FEASIBLE
+        # iterates may be handed back as usable (callers reject failed=True)
+        cvf = cone_vals(state.uc, state.uf)
+        viol_f = jnp.max(rmaskf * (jnp.linalg.norm(cvf[:, 1:], axis=-1) - cvf[:, 0]))
+        failed = failed | (viol_f > 2.0 * jnp.sqrt(tol))
     stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,
-                 s=state.s, lam=state.lam, sq=state.sq, zq=state.zq,
-                 gd_inf=gd_f, rp_inf=rp_f)
+                 failed=failed,
+                 s=state.s, lam=state.lam, sq=state.sq, zq=state.zq)
+    if diagnostics:
+        # final KKT residuals (one extra gradient/slack evaluation)
+        gc_f, gf_f = grad_lagrangian(state.uc, state.uf, state.lam, state.zq)
+        stats["gd_inf"] = jnp.maximum(
+            jnp.max(jnp.abs(gc_f)) if gc_f.size else jnp.asarray(0.0, dtype),
+            jnp.max(jnp.abs(gf_f)) if gf_f.size else jnp.asarray(0.0, dtype),
+        )
+        stats["rp_inf"] = jnp.max(jnp.abs(jnp.where(
+            mask, state.s - slack_vals(state.uc, state.uf), 0.0))) \
+            if mtot else jnp.asarray(0.0, dtype)
     return state.uc, state.uf, stats
 
 
@@ -627,5 +677,6 @@ def ipm_solve_np(
         ipm_mu=float(stats["mu"]),
         ipm_iters=int(stats["iters"]),
         ipm_converged=bool(stats["converged"]),
+        ipm_failed=bool(stats["failed"]),
     )
     return np.asarray(X), np.asarray(U), data

@@ -83,11 +83,13 @@ def _slew_T(N: int, dtype) -> jnp.ndarray:
 
 
 def _block_diag(Bs: jnp.ndarray) -> jnp.ndarray:
-    """(N, d, d) -> (N*d, N*d) block-diagonal embedding."""
+    """(N, d, d) -> (N*d, N*d) block-diagonal embedding.
+
+    Built by broadcast-masking, not scatter: vmapped scatters inside loop
+    bodies compile pathologically slowly through the axon remote compiler."""
     N, d = Bs.shape[0], Bs.shape[-1]
-    out = jnp.zeros((N, d, N, d), dtype=Bs.dtype)
-    idx = jnp.arange(N)
-    out = out.at[idx, :, idx, :].set(Bs)
+    onehot = jnp.eye(N, dtype=Bs.dtype)
+    out = onehot[:, None, :, None] * Bs[:, :, None, :]
     return out.reshape(N * d, N * d)
 
 

@@ -185,3 +185,48 @@ def test_soc_warm_start_cuts_iterations():
     iters = [sd["ipm_iters"] for sd in data["solver_data"]]
     assert min(iters[1:]) < iters[0], iters
     assert np.linalg.norm(U, axis=-1).max() <= 0.8 + 1e-5
+
+
+def test_fused_soc_batch_respects_cones():
+    """A vmapped batch of perturbed problems (bench config-3 shape) must not
+    adopt cone-violating iterates: a gave-up cone IPM (f32 NT-scaling
+    breakdown) is rejected by the SCP loop (stats["failed"] contract) and the
+    breakdown retry first attempts interior restoration of the cone points."""
+    import jax
+    import jax.numpy as jnp
+
+    from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+
+    N, xdim, udim = 12, 4, 2
+    r = 0.7
+    f32 = np.float32
+    d = make_scp_data(np.ones((1, xdim), f32),
+                      np.tile(np.eye(xdim, dtype=f32), (1, N, 1, 1)),
+                      np.tile((1e-2 * np.eye(udim)).astype(f32), (1, N, 1, 1)),
+                      reg_x=1.0, reg_u=0.1,
+                      u_l=-np.ones((1, N, udim), f32),
+                      u_u=np.ones((1, N, udim), f32),
+                      u_soc_r=np.full((1, N), r, f32))
+    solver = build_scp_solver(unicycle_step, N=N, xdim=xdim, udim=udim, M=1,
+                              Nc=0, max_it=8, res_tol=1e-5, has_u_bounds=True,
+                              has_u_soc=True, jit=False)
+    B = 32
+    batched = jax.jit(jax.vmap(solver))
+    stack = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), d)
+    rng = np.random.default_rng(7)
+    x0 = np.asarray(stack.x0) + 0.05 * rng.normal(size=stack.x0.shape).astype(f32)
+    X, U, info = batched(stack._replace(x0=jnp.asarray(x0)))
+    norms = np.linalg.norm(np.asarray(U), axis=-1)
+    # loose-tolerance mid-SCP solves may leave ~sqrt(ipm_tol) violations, but
+    # never the gross infeasibility of an adopted failed solve
+    assert norms.max() <= r + 5e-3, norms.max()
+
+
+def test_ipm_stats_failed_flag_clean_solve():
+    """Normal structured-SOC solves report failed=False (and converged)."""
+    rng = np.random.default_rng(5)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    X, U, data = _solve_structured(p, M, N, xdim, udim, Nc, 0.6)
+    assert data["ipm_converged"]
+    assert data["ipm_failed"] is False
