@@ -1,0 +1,77 @@
+"""A/B: config 5 (M=64, N=50, Nc=5, u-bounded) condensed vs riccati IPM,
+with a batch-size sweep. Writes benchmarks/ab_cfg5_out.txt."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ab_cfg5_out.txt")
+_lines = []
+
+
+def log(msg):
+    _lines.append(str(msg))
+    print(msg, flush=True)
+    with open(OUT, "w") as fh:
+        fh.write("\n".join(_lines) + "\n")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import pmpc_tpu  # noqa: F401
+    from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+    from __graft_entry__ import _dubins
+
+    f32 = np.float32
+    M, N, xdim, udim, Nc = 64, 50, 4, 2, 5
+    log(f"platform={jax.devices()[0].platform} M={M} N={N} Nc={Nc}")
+
+    d5 = make_scp_data(np.ones((M, xdim), f32),
+                       np.tile(np.eye(xdim, dtype=f32), (M, N, 1, 1)),
+                       np.tile((1e-2 * np.eye(udim)).astype(f32), (M, N, 1, 1)),
+                       reg_x=1.0, reg_u=0.1,
+                       u_l=-np.ones((M, N, udim), f32),
+                       u_u=np.ones((M, N, udim), f32))
+
+    def bench(method, B, reps=3):
+        s = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=M, Nc=Nc,
+                             max_it=8, res_tol=1e-5, has_u_bounds=True,
+                             ipm_iters=15, method=method, jit=False)
+        fn = jax.jit(jax.vmap(s))
+        stack = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), d5)
+        rng = np.random.default_rng(1)
+        x0 = np.asarray(stack.x0) + 0.02 * rng.normal(size=stack.x0.shape).astype(f32)
+        stack = stack._replace(x0=jnp.asarray(x0))
+        t0 = time.perf_counter()
+        X, U, info = fn(stack)
+        _ = float(U.sum())
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            X, U, info = fn(stack)
+        _ = float(U.sum())
+        dt = (time.perf_counter() - t0) / reps
+        U = np.asarray(U)
+        log(f"  {method:10s} B={B:3d}: {dt*1e3:8.1f} ms/call = "
+            f"{B/dt:7.1f} solves/s  (compile {t_compile:.0f}s, "
+            f"resid_med={np.median(np.asarray(info['resid'])):.2e}, "
+            f"u_max={np.abs(U).max():.4f})")
+        return B / dt
+
+    log("== condensed vs riccati, B sweep ==")
+    for B in (16, 64):
+        bench("condensed", B)
+    for B in (16, 64, 128):
+        bench("riccati", B)
+
+    log("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,10 +133,11 @@ def build_scp_solver(
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
     if method not in ("condensed", "riccati"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "riccati" and has_bounds:
+    if method == "riccati" and (has_x_bounds or has_u_soc):
         raise NotImplementedError(
-            "method='riccati' currently serves the equality-only (no bounds/"
-            "cones) path; use the condensed IPM for constrained problems"
+            "method='riccati' serves the eq-only and u-box paths (O(N) "
+            "stage-structured IPM); state boxes and SOC cones need the "
+            "condensed IPM"
         )
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
@@ -164,79 +165,91 @@ def build_scp_solver(
         if method == "riccati":
             # O(N) stage-structured consensus solve: no O(N^2) Ft, the
             # consensus Schur complement is a per-particle theta-quadratic sum
-            from .solvers.riccati import riccati_consensus_solve
+            if has_bounds:
+                from .solvers.riccati_ipm import riccati_ipm_solve_scp
 
-            X, U = riccati_consensus_solve(
-                data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
-                X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
-            warm_new = warm
-            dX, dU = X - X_prev, U - U_prev
-            new_resid = jnp.maximum(
-                jnp.max(jnp.linalg.norm(dX, axis=-1)),
-                jnp.max(jnp.linalg.norm(dU, axis=-1)))
-            now_done = new_resid < res_tol
-            bad = ~jnp.isfinite(new_resid)
-            freeze = done | bad
-            X_out = jnp.where(freeze, X_prev, X)
-            U_out = jnp.where(freeze, U_prev, U)
-            resid_out = jnp.where(freeze, resid, new_resid)
-            it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
-            ys = None
-            if collect_stats:
-                ys = dict(ipm_iters=jnp.asarray(0, jnp.int32), resid=new_resid)
-            return (X_out, U_out, it_out, done | now_done, resid_out, warm_new), ys
-
-        cqp = assemble_condensed(
-            data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
-            data.reg_x, data.reg_u, data.slew_reg, data.slew_reg0, data.slew_um1,
-            Nc=Nc,
-        )
-        if has_bounds:
-            nc = Nc * udim
-            dt = cqp.qf.dtype
-            ul = data.u_l.reshape(M, N * udim)
-            uu = data.u_u.reshape(M, N * udim)
-            bounds = BoxBounds(
-                lo_c=ul[0, :nc], hi_c=uu[0, :nc],
-                lo_f=ul[:, nc:], hi_f=uu[:, nc:],
-                lo_x=data.x_l.reshape(M, N * xdim),
-                hi_x=data.x_u.reshape(M, N * xdim),
-            )
-            dflt_tol = -8 if dt == jnp.float64 else -6
-            dflt_kappa = 0.0 if dt == jnp.float64 else 1e-7
-            # inexact-Newton forcing: early SCP iterations (large residual)
-            # only need a loose subproblem solve — the tolerance tightens
-            # quadratically with the SCP residual down to the static floor
-            tol_dyn = None
-            if adaptive_tol:
-                r = jnp.minimum(resid, 1e3)  # resid starts at +inf
-                tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
-            socs = None
-            if has_u_soc:
-                from .solvers.ipm import SocSpec
-
-                socs = SocSpec(r_c=data.u_soc_r[0, :Nc], r_f=data.u_soc_r[:, Nc:])
-            uc, uf, stats = ipm_core(
-                cqp, bounds, has_u=has_u_bounds, has_x=has_x_bounds,
-                iters=ipm_iters,
-                tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
-                kappa=kappa if kappa is not None else dflt_kappa,
-                mu_target=mu_target,
-                warm=warm,
-                tol_dynamic=tol_dyn,
-                tau=ipm_tau,
-                socs=socs, has_soc=has_u_soc,
-            )
-            if warm_start:
-                warm_new = (uc, uf, stats["s"], stats["lam"])
-                if has_u_soc:
-                    warm_new = warm_new + (stats["sq"], stats["zq"])
+                dt = data.Q.dtype
+                dflt_tol = -8 if dt == jnp.float64 else -6
+                dflt_kappa = 0.0 if dt == jnp.float64 else 1e-7
+                tol_dyn = None
+                if adaptive_tol:
+                    r = jnp.minimum(resid, 1e3)
+                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
+                X, U, stats = riccati_ipm_solve_scp(
+                    data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
+                    X_ref, U_ref, data.reg_x, data.reg_u,
+                    data.u_l, data.u_u, Nc=Nc,
+                    iters=ipm_iters,
+                    tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
+                    kappa=kappa if kappa is not None else dflt_kappa,
+                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau)
+                if warm_start:
+                    warm_new = (stats["theta"], stats["uf"],
+                                stats["s"], stats["lam"])
+                else:
+                    warm_new = warm
             else:
+                from .solvers.riccati import riccati_consensus_solve
+
+                X, U = riccati_consensus_solve(
+                    data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
+                    X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
                 warm_new = warm
+                stats = None
         else:
-            uc, uf = solve_eq(cqp)
-            warm_new = warm
-        X, U = recover_XU(cqp, uc, uf, N=N)
+            cqp = assemble_condensed(
+                data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
+                data.reg_x, data.reg_u, data.slew_reg, data.slew_reg0,
+                data.slew_um1, Nc=Nc,
+            )
+            if has_bounds:
+                nc = Nc * udim
+                dt = cqp.qf.dtype
+                ul = data.u_l.reshape(M, N * udim)
+                uu = data.u_u.reshape(M, N * udim)
+                bounds = BoxBounds(
+                    lo_c=ul[0, :nc], hi_c=uu[0, :nc],
+                    lo_f=ul[:, nc:], hi_f=uu[:, nc:],
+                    lo_x=data.x_l.reshape(M, N * xdim),
+                    hi_x=data.x_u.reshape(M, N * xdim),
+                )
+                dflt_tol = -8 if dt == jnp.float64 else -6
+                dflt_kappa = 0.0 if dt == jnp.float64 else 1e-7
+                # inexact-Newton forcing: early SCP iterations (large residual)
+                # only need a loose subproblem solve — the tolerance tightens
+                # quadratically with the SCP residual down to the static floor
+                tol_dyn = None
+                if adaptive_tol:
+                    r = jnp.minimum(resid, 1e3)  # resid starts at +inf
+                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
+                socs = None
+                if has_u_soc:
+                    from .solvers.ipm import SocSpec
+
+                    socs = SocSpec(r_c=data.u_soc_r[0, :Nc],
+                                   r_f=data.u_soc_r[:, Nc:])
+                uc, uf, stats = ipm_core(
+                    cqp, bounds, has_u=has_u_bounds, has_x=has_x_bounds,
+                    iters=ipm_iters,
+                    tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
+                    kappa=kappa if kappa is not None else dflt_kappa,
+                    mu_target=mu_target,
+                    warm=warm,
+                    tol_dynamic=tol_dyn,
+                    tau=ipm_tau,
+                    socs=socs, has_soc=has_u_soc,
+                )
+                if warm_start:
+                    warm_new = (uc, uf, stats["s"], stats["lam"])
+                    if has_u_soc:
+                        warm_new = warm_new + (stats["sq"], stats["zq"])
+                else:
+                    warm_new = warm
+            else:
+                uc, uf = solve_eq(cqp)
+                warm_new = warm
+                stats = None
+            X, U = recover_XU(cqp, uc, uf, N=N)
 
         dX, dU = X - X_prev, U - U_prev
         new_resid = jnp.maximum(
@@ -277,12 +290,19 @@ def build_scp_solver(
             # slacks/multipliers at the cold-start heuristic values
             nc = Nc * udim
             nf = (N - Nc) * udim
-            NX = N * xdim
             uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
             uf_w = data.U_prev.reshape(M, -1)[:, nc:]
-            mtot = 2 * nc + 2 * M * nf + 2 * M * NX
-            s_w = jnp.ones((mtot,), dt)
-            warm0 = (uc_w, uf_w, s_w, s_w)
+            if method == "riccati":
+                # stage-structured IPM layout: padded theta, no state rows
+                nct = max(nc, 1)
+                th_w = jnp.zeros((nct,), dt).at[:nc].set(uc_w)
+                mtot = 2 * nct + 2 * M * nf
+                s_w = jnp.ones((mtot,), dt)
+                warm0 = (th_w, uf_w, s_w, s_w)
+            else:
+                mtot = 2 * nc + 2 * M * nf + 2 * M * (N * xdim)
+                s_w = jnp.ones((mtot,), dt)
+                warm0 = (uc_w, uf_w, s_w, s_w)
             if has_u_soc:
                 nq = Nc + M * (N - Nc)
                 e0 = jnp.zeros((nq, udim + 1), dt).at[:, 0].set(1.0)

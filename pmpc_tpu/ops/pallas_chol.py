@@ -31,31 +31,39 @@ TB = 128  # batch tile: the lane dimension is always padded to 128 in VMEM,
 
 
 def fits_vmem(n: int) -> bool:
-    """3 (n_pad, n, 128) f32 buffers (aliased in/out + 2 scratch) under ~14MB."""
+    """3 (n_pad, n, 128) f32 buffers (aliased in/out + 2 scratch), times 2 for
+    Mosaic's grid double-buffering, under ~14MB. Without the 2x factor n=90
+    compiled standalone but VMEM-OOMed under an outer vmap (scoped allocation
+    25.3M > 16M limit); oversize n falls back to the blocked-GEMM factor."""
     n_pad = -(-n // 8) * 8
-    return 3 * n_pad * n * 128 * 4 <= 14 * 1024 * 1024
+    return 2 * 3 * n_pad * n * 128 * 4 <= 14 * 1024 * 1024
 
 
-def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, S, L):
-    # A_ref is ALIASED with M_ref (read fully before M rows are written);
-    # S, L: VMEM scratch (n, n, TB)
-    S[...] = A_ref[...]
+def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, L):
+    # The OUTPUT block doubles as the factorization workspace: the downdate
+    # loop consumes the copied A to ~0, then the forward substitution
+    # overwrites its rows top-down with Minv (row i reads only rows < i,
+    # already rewritten). One VMEM buffer fewer than a separate S scratch —
+    # the margin that lets n=90 fit under the scoped-vmem limit. (A_ref is
+    # additionally HBM-aliased with M_ref, which saves the HBM copy; the
+    # VMEM in/out blocks are still distinct, hence the explicit copy.)
+    M_ref[...] = A_ref[...]
     if jitter:
         for j in range(n):
-            S[j, j, :] = S[j, j, :] + jitter
+            M_ref[j, j, :] = M_ref[j, j, :] + jitter
 
     # column (outer-product) Cholesky, batch on lanes
     for j in range(n):
         # exact sqrt + divide (lax.rsqrt is an approximate VPU op on TPU and
         # measurably degrades the factor); a non-positive pivot (not SPD)
         # yields NaN so the IPM's non-finite freeze guards catch breakdown
-        piv = S[j, j, :]
+        piv = M_ref[j, j, :]
         d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
-        col = S[:, j, :] / d[None, :]  # (n, TB)
+        col = M_ref[:, j, :] / d[None, :]  # (n, TB)
         mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
         col = jnp.where(mask, col, 0.0)
         L[:, j, :] = col
-        S[...] = S[...] - col[:, None, :] * col[None, :, :]
+        M_ref[...] = M_ref[...] - col[:, None, :] * col[None, :, :]
 
     # forward substitution: row i of Minv solves L[i,:i] M[:i,:] + L[i,i] M[i,:] = e_i
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
@@ -93,7 +101,6 @@ def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, n, TB), A.dtype),
             pltpu.VMEM((n, n, TB), A.dtype),
         ],
         input_output_aliases={0: 0},

@@ -15,14 +15,21 @@ variable and hand it to the NT-scaled cone IPM: the quadratic epigraph
 
     || (2 L z ; 1 - (w - q'z - c)) ||_2  <=  1 + (w - q'z - c).
 
+The assembly is DEVICE-NATIVE: the per-particle epigraph cones are built with
+one batched Cholesky + broadcast-mask embeddings inside one jitted program
+(where the reference loops sparse CSC assembly on the CPU with ``@threads``,
+``cone_utils.jl:64-95``), and the cone IPM solve fuses into the same program.
+
 Per-particle constants matter here (they decide WHICH particles are worst), so
 J_i includes its constant term, evaluated at U = 0.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,10 +60,113 @@ def particle_constants(
     return c
 
 
+@partial(jax.jit, static_argnames=("N", "udim", "xdim", "iters", "tol_exp",
+                                   "kappa", "has_ubox", "has_xbox"))
+def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
+                 u_l, u_u, x_l, x_u,
+                 N: int, udim: int, xdim: int,
+                 iters: int, tol_exp: int, kappa: float,
+                 has_ubox: bool, has_xbox: bool):
+    """Assemble + solve the CVaR-k epigraph cone program, all on device."""
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    nz = nc + M * nf
+    NX = cqp.g.shape[-1]
+    nzi = nc + nf
+    dtype = cqp.qf.dtype
+    nv = nz + M + 1  # v = [z (nz); y (M); t (1)]
+    eyeM = jnp.eye(M, dtype=dtype)
+
+    # objective normalized by the particle-cost scale so the IPM's duality
+    # measure is a RELATIVE gap (otherwise float32 cannot reach an absolute
+    # tolerance on problems with large cost constants)
+    sigma = jnp.maximum(1.0, jnp.mean(jnp.abs(c_per)))
+    c_obj = jnp.zeros((nv,), dtype)
+    c_obj = c_obj.at[nz:nz + M].set((1.0 + eps) / sigma)
+    c_obj = c_obj.at[nz + M].set((1.0 - eps) * k / sigma)
+
+    Xmap, xoff = x_map(cqp)
+
+    Gl_rows, hl_rows = [], []
+    # y >= 0
+    Gy = jnp.zeros((M, nv), dtype).at[:, nz:nz + M].set(-eyeM)
+    Gl_rows.append(Gy)
+    hl_rows.append(jnp.zeros((M,), dtype))
+
+    eye_v = jnp.eye(nv, dtype=dtype)
+    if has_ubox:
+        ul = u_l.reshape(M, N * udim)
+        uu = u_u.reshape(M, N * udim)
+        if nc:
+            sel = eye_v[:nc]
+            Gl_rows += [sel, -sel]
+            hl_rows += [uu[0, :nc], -ul[0, :nc]]
+        if nf:
+            sel = eye_v[nc:nz]  # particle-major free-control selectors
+            Gl_rows += [sel, -sel]
+            hl_rows += [uu[:, nc:].reshape(-1), -ul[:, nc:].reshape(-1)]
+    if has_xbox:
+        xl = x_l.reshape(M * NX)
+        xu = x_u.reshape(M * NX)
+        Gx = jnp.zeros((M * NX, nv), dtype).at[:, :nz].set(Xmap)
+        Gl_rows += [Gx, -Gx]
+        hl_rows += [xu - xoff, -(xl - xoff)]
+
+    # per-particle quadratic epigraph SOCs, batched over M:
+    # J_i(z) = ||A_i z_i||^2 + q_i'z_i + c_i with A_i = L_i'/sqrt(2)
+    L = jnp.linalg.cholesky(H_per + 1e-12 * jnp.eye(nzi, dtype=dtype))
+    A = jnp.swapaxes(L, -1, -2) / jnp.sqrt(jnp.asarray(2.0, dtype))
+    # embed z_i = [uc; uf_i] columns into v: consensus block shared, the i-th
+    # free block placed by a broadcast one-hot over particles
+    Az = jnp.zeros((M, nzi, nv), dtype)
+    Az = Az.at[:, :, :nc].set(A[:, :, :nc])
+    free_cols = (eyeM[:, None, :, None] * A[:, :, None, nc:]).reshape(
+        M, nzi, M * nf)
+    Az = Az.at[:, :, nc:nz].set(free_cols)
+    qv = jnp.zeros((M, nv), dtype)
+    qv = qv.at[:, :nc].set(q_per[:, :nc])
+    qv = qv.at[:, nc:nz].set(
+        (eyeM[:, :, None] * q_per[:, None, nc:]).reshape(M, M * nf))
+    # w_i = y_i + t
+    wv = jnp.zeros((M, nv), dtype)
+    wv = wv.at[:, nz:nz + M].set(eyeM)
+    wv = wv.at[:, nz + M].set(1.0)
+
+    # SOC rows: s = h - G v with s0 = 1 + (w - q'z - c), s_mid = 2 A z,
+    # s_last = 1 - (w - q'z - c)
+    p = 2 + nzi
+    G = jnp.concatenate([
+        -(wv - qv)[:, None, :], -2.0 * Az, (wv - qv)[:, None, :]], axis=1)
+    h = jnp.concatenate([
+        (1.0 - c_per)[:, None], jnp.zeros((M, nzi), dtype),
+        (1.0 + c_per)[:, None]], axis=1)
+    # uniform per-cone scaling (a scaled SOC is the same constraint) keeps
+    # the IPM well-conditioned when particle-cost constants are large
+    scale = jnp.maximum(1.0, jnp.maximum(
+        jnp.abs(c_per), jnp.max(jnp.abs(Az), axis=(1, 2))))
+    Gq = G / scale[:, None, None]
+    hq = h / scale[:, None]
+
+    Gl = jnp.concatenate(Gl_rows, axis=0)
+    hl = jnp.concatenate(hl_rows)
+    # pure-LP objective: tiny quadratic regularization keeps the init sane
+    P = 1e-8 * eye_v
+
+    prob = ConeLP(P=P, q=c_obj, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
+    v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
+                                   kappa=kappa)
+
+    w = v[:nz]
+    U = jnp.concatenate([
+        jnp.broadcast_to(w[:nc], (M, nc)),
+        w[nc:nz].reshape(M, nf)], axis=1).reshape(M, N, udim)
+    X = (Xmap @ w + xoff).reshape(M, N, xdim)
+    return X, U, v[nz:], stats
+
+
 def cvar_solve(
-    H_per: np.ndarray,  # (M, nc+nf, nc+nf) per-particle Hessians over z_i
-    q_per: np.ndarray,  # (M, nc+nf)
-    c_per: np.ndarray,  # (M,) per-particle constants (J_i at z_i = 0)
+    H_per,  # (M, nc+nf, nc+nf) per-particle Hessians over z_i
+    q_per,  # (M, nc+nf)
+    c_per,  # (M,) per-particle constants (J_i at z_i = 0)
     cqp: CondensedQP,
     N: int,
     udim: int,
@@ -67,115 +177,28 @@ def cvar_solve(
 ):
     """Solve the CVaR-k consensus problem. Returns (X, U, data)."""
     settings = settings or {}
-    M, nc, nf = cqp.M, cqp.nc, cqp.nf
-    nz = nc + M * nf
-    NX = cqp.g.shape[-1]
-    dtype = np.asarray(cqp.qf).dtype
+    dtype = np.dtype(np.asarray(cqp.qf).dtype)
     eps = float(settings.get("cost_anchor_eps", COST_ANCHOR_EPS))
-
-    # variable layout: v = [z (nz); y (M); t (1)]
-    nv = nz + M + 1
-    P = np.zeros((nv, nv))
-    # objective normalized by the particle-cost scale so the IPM's duality
-    # measure is a RELATIVE gap (otherwise float32 cannot reach an absolute
-    # tolerance on problems with large cost constants)
-    sigma = max(1.0, float(np.mean(np.abs(c_per))))
-    c_obj = np.zeros(nv)
-    c_obj[nz:nz + M] = (1.0 + eps) / sigma
-    c_obj[nz + M] = (1.0 - eps) * k / sigma
-
-    Xmap, xoff = x_map(cqp)
-
-    Gl_rows, hl_rows = [], []
-    # y >= 0
-    Gy = np.zeros((M, nv))
-    Gy[:, nz:nz + M] = -np.eye(M)
-    Gl_rows.append(Gy)
-    hl_rows.append(np.zeros(M))
-
-    if u_l is not None and u_u is not None:
-        ul = np.asarray(u_l).reshape(M, N * udim)
-        uu = np.asarray(u_u).reshape(M, N * udim)
-        if nc:
-            sel = np.zeros((nc, nv)); sel[:, :nc] = np.eye(nc)
-            Gl_rows += [sel, -sel]
-            hl_rows += [uu[0, :nc], -ul[0, :nc]]
-        for i in range(M):
-            if nf:
-                sel = np.zeros((nf, nv))
-                sel[:, nc + i * nf: nc + (i + 1) * nf] = np.eye(nf)
-                Gl_rows += [sel, -sel]
-                hl_rows += [uu[i, nc:], -ul[i, nc:]]
-    if x_l is not None and x_u is not None:
-        xl = np.asarray(x_l).reshape(M * NX)
-        xu = np.asarray(x_u).reshape(M * NX)
-        Gx = np.zeros((M * NX, nv)); Gx[:, :nz] = Xmap
-        Gl_rows += [Gx, -Gx]
-        hl_rows += [xu - xoff, -(xl - xoff)]
-
-    # per-particle quadratic epigraph SOCs
-    soc_blocks = []
-    nzi = nc + nf
-    for i in range(M):
-        Hi = np.asarray(H_per[i], dtype=float)
-        qi = np.asarray(q_per[i], dtype=float)
-        ci = float(c_per[i])
-        L = np.linalg.cholesky(Hi + 1e-12 * np.eye(nzi))  # J_i = ||L'z||^2/2 ...
-        # J_i(z) = 0.5 z'Hz + q'z + c = ||A z||^2 + q'z + c with A = L'/sqrt(2)
-        A = L.T / np.sqrt(2.0)
-        # embed z_i columns into v
-        Ev = np.zeros((nzi, nv))
-        Ev[:nc, :nc] = np.eye(nc)
-        Ev[nc:, nc + i * nf: nc + (i + 1) * nf] = np.eye(nf)
-        Az = A @ Ev  # (nzi, nv)
-        qv = qi @ Ev  # (nv,)
-        wv = np.zeros(nv); wv[nz + i] = 1.0; wv[nz + M] = 1.0  # w = y_i + t
-        # SOC: s = h - G v with
-        #   s0 = 1 + (w - q'z - c);  s1 = 2 A z;  s2 = 1 - (w - q'z - c)
-        p = 2 + nzi
-        G = np.zeros((p, nv)); h = np.zeros(p)
-        G[0] = -(wv - qv); h[0] = 1.0 - ci
-        G[1:1 + nzi] = -2.0 * Az; h[1:1 + nzi] = 0.0
-        G[1 + nzi] = (wv - qv); h[1 + nzi] = 1.0 + ci
-        # uniform per-cone scaling (a scaled SOC is the same constraint) keeps
-        # the IPM well-conditioned when particle-cost constants are large
-        scale = max(1.0, abs(ci), float(np.abs(Az).max()))
-        soc_blocks.append((G / scale, h / scale))
-
-    Gl = np.concatenate(Gl_rows, axis=0)
-    hl = np.concatenate(hl_rows)
-    ncones = len(soc_blocks)
-    pmax = max(g.shape[0] for g, _ in soc_blocks)
-    Gq = np.zeros((ncones, pmax, nv)); hq = np.zeros((ncones, pmax))
-    for i, (g, hh) in enumerate(soc_blocks):
-        Gq[i, :g.shape[0]] = g; hq[i, :g.shape[0]] = hh
-
-    # pure-LP objective: tiny quadratic regularization keeps the init sane
-    P[np.diag_indices(nv)] = 1e-8
-
-    prob = ConeLP(
-        P=jnp.asarray(P, dtype=dtype), q=jnp.asarray(c_obj, dtype=dtype),
-        Gl=jnp.asarray(Gl, dtype=dtype), hl=jnp.asarray(hl, dtype=dtype),
-        Gq=jnp.asarray(Gq, dtype=dtype), hq=jnp.asarray(hq, dtype=dtype),
-    )
     iters = int(settings.get("ipm_iters", 50))
     # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -3))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-6))
-    v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp, kappa=kappa)
 
-    v = np.asarray(v)
-    w = v[:nz]
-    U = np.zeros((M, N, udim))
-    for i in range(M):
-        ui = np.concatenate([w[:nc], w[nc + i * nf: nc + (i + 1) * nf]])
-        U[i] = ui.reshape(N, udim)
-    X = (Xmap @ w + xoff).reshape(M, N, xdim)
+    has_ubox = u_l is not None and u_u is not None
+    has_xbox = x_l is not None and x_u is not None
+    j = lambda a: None if a is None else jnp.asarray(a, dtype)
+    X, U, ts, stats = _cvar_device(
+        jnp.asarray(H_per, dtype), jnp.asarray(q_per, dtype),
+        jnp.asarray(c_per, dtype), cqp,
+        jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
+        j(u_l), j(u_u), j(x_l), j(x_u),
+        N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp, kappa=kappa,
+        has_ubox=has_ubox, has_xbox=has_xbox)
     data = dict(
         solver_state=settings.get("solver_state"),
         ipm_mu=float(stats["mu"]),
         ipm_iters=int(stats["iters"]),
         ipm_converged=bool(stats["converged"]),
-        ts=np.concatenate([v[nz:nz + M], v[nz + M:]]),
+        ts=np.asarray(ts),
     )
-    return X, U, data
+    return np.asarray(X), np.asarray(U), data

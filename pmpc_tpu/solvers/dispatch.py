@@ -179,14 +179,35 @@ def affine_solve_np(
             settings=settings, extra_obj=diff_cost_fn,
         )
 
+    want_riccati = str(settings.get("method", "")).lower() == "riccati"
+    if want_riccati:
+        # O(N) stage-structured path (long horizons); slew/weights need
+        # the condensed path
+        if np.any(np.asarray(slew_reg) != 0) or np.any(np.asarray(slew_reg0) != 0):
+            raise NotImplementedError("method='riccati' does not support slew terms")
+        if weights is not None:
+            raise NotImplementedError("method='riccati' does not support weights")
+
+    if want_riccati and has_ineq:
+        # u-box bounds only: the stage-structured Mehrotra IPM (riccati_ipm);
+        # anything richer needs the condensed machinery
+        if (x_l is not None or x_u is not None or extra_cstrs
+                or u_soc_r is not None or smooth_cstr):
+            raise NotImplementedError(
+                "method='riccati' supports u-box bounds only; state boxes, "
+                "cones, extras and smoothing need the condensed path")
+        udim = fu.shape[-1]
+        if u_l is None:  # one-sided bounds: absent side at -inf/+inf
+            u_l = np.full((M, N, udim), -np.inf, dtype=f.dtype)
+        if u_u is None:
+            u_u = np.full((M, N, udim), np.inf, dtype=f.dtype)
+        from .riccati_ipm import riccati_ipm_solve_np
+
+        return riccati_ipm_solve_np(
+            base_args, reg_args, u_l, u_u, Nc=Nc, settings=settings)
+
     if not has_ineq:
-        if str(settings.get("method", "")).lower() == "riccati":
-            # O(N) stage-structured path (long horizons); slew/weights need
-            # the condensed path
-            if np.any(np.asarray(slew_reg) != 0) or np.any(np.asarray(slew_reg0) != 0):
-                raise NotImplementedError("method='riccati' does not support slew terms")
-            if weights is not None:
-                raise NotImplementedError("method='riccati' does not support weights")
+        if want_riccati:
             from .riccati import riccati_consensus_solve
 
             X, U = riccati_consensus_solve(

@@ -12,20 +12,27 @@ with ``G_left`` over the canonical consensus variable
 ``l`` leading nonneg rows, ``q`` a list of SOC sizes, ``e`` a COUNT of 3-dim
 exponential cones (triples of rows after the lin/SOC sections).
 
-States are eliminated: rows over the x-part map through the condensed
-``x = Xmap w + xoff``, so the whole problem becomes a dense cone QP over
-``v = [w; aux]`` handled by `cone_qp_solve` (nonneg + SOC, on device). Exp
-cones make the program non-symmetric and are solved by a host (scipy) convex
-fallback (`_solve_exp_host`) — note the reference's own logbarrier smoothing
-never takes this path: pmpc_tpu solves it as a TPU central-path target
-(``solvers/ipm.py`` ``mu_target``), proven equivalent in
+The whole program assembly is DEVICE-NATIVE: states are eliminated through
+the condensed ``x = Xmap w + xoff``, the dense cone program over
+``v = [w; aux]`` is built with jnp block/broadcast ops inside ONE jitted
+function per constraint signature (the static row/cone counts), and solved by
+the NT-scaled cone IPM in the same compiled program — nothing is assembled on
+the host per SCP iteration (the reference instead re-runs sparse CSC assembly
+on the CPU every iteration, ``cone_utils.jl:64-95``).
+
+Exp cones make the program non-symmetric and are solved by a host (scipy)
+convex fallback (`_solve_exp_host`) — note the reference's own logbarrier
+smoothing never takes this path: pmpc_tpu solves it as a TPU central-path
+target (``solvers/ipm.py`` ``mu_target``), proven equivalent in
 ``tests/test_reference_parity.py``.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,35 +40,31 @@ from .coneipm import ConeLP, cone_qp_solve
 from .reduced import CondensedQP
 
 
-def dense_H_q(cqp: CondensedQP) -> Tuple[np.ndarray, np.ndarray]:
-    """Densify the arrow-structured Hessian/linear term over z = [uc; uf_1..M]."""
+def dense_H_q(cqp: CondensedQP) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Densify the arrow-structured Hessian/linear term over z = [uc; uf_1..M]
+    (jnp, trace-compatible: broadcast-mask block placement, no host loops)."""
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
-    nz = nc + M * nf
-    H = np.zeros((nz, nz))
-    Hcc, Hcf, Hff = np.asarray(cqp.Hcc), np.asarray(cqp.Hcf), np.asarray(cqp.Hff)
-    H[:nc, :nc] = Hcc
-    for i in range(M):
-        s = nc + i * nf
-        H[:nc, s:s + nf] = Hcf[i]
-        H[s:s + nf, :nc] = Hcf[i].T
-        H[s:s + nf, s:s + nf] = Hff[i]
-    q = np.concatenate([np.asarray(cqp.qc)] + [np.asarray(cqp.qf[i]) for i in range(M)])
+    Hcc, Hcf, Hff = cqp.Hcc, cqp.Hcf, cqp.Hff
+    eyeM = jnp.eye(M, dtype=Hff.dtype)
+    Hff_bd = (eyeM[:, None, :, None] * Hff[:, :, None, :]).reshape(M * nf, M * nf)
+    top = jnp.transpose(Hcf, (1, 0, 2)).reshape(nc, M * nf)
+    H = jnp.concatenate([
+        jnp.concatenate([Hcc, top], axis=1),
+        jnp.concatenate([top.T, Hff_bd], axis=1),
+    ], axis=0)
+    q = jnp.concatenate([cqp.qc, cqp.qf.reshape(-1)])
     return H, q
 
 
-def x_map(cqp: CondensedQP) -> Tuple[np.ndarray, np.ndarray]:
-    """Dense map from z to the stacked states: x_all = Xmap z + xoff."""
+def x_map(cqp: CondensedQP) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense map from z to the stacked states x_all = Xmap z + xoff (jnp)."""
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     NX = cqp.g.shape[-1]
-    nz = nc + M * nf
-    Ft = np.asarray(cqp.Ft)
-    Xmap = np.zeros((M * NX, nz))
-    for i in range(M):
-        Xmap[i * NX:(i + 1) * NX, :nc] = Ft[i, :, :nc]
-        s = nc + i * nf
-        Xmap[i * NX:(i + 1) * NX, s:s + nf] = Ft[i, :, nc:]
-    xoff = np.asarray(cqp.g).reshape(-1)
-    return Xmap, xoff
+    Ft = cqp.Ft
+    eyeM = jnp.eye(M, dtype=Ft.dtype)
+    left = Ft[:, :, :nc].reshape(M * NX, nc)
+    right = (eyeM[:, None, :, None] * Ft[:, :, None, nc:]).reshape(M * NX, M * nf)
+    return jnp.concatenate([left, right], axis=1), cqp.g.reshape(-1)
 
 
 def _full_layout_sizes(M, nc, nf, NX):
@@ -75,20 +78,187 @@ def terminal_cross_cost(cqp: CondensedQP, N: int, xdim: int, Hf, hf=None):
     0.5 xN' Hf xN + hf' xN over the stacked final states xN (M*xdim,)
     — parity with the Hf/hf settings of ``lqp_utils.jl:105-163,192-204``."""
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
-    NX = cqp.g.shape[-1]
     nz = nc + M * nf
+    dtype = cqp.qf.dtype
     Xmap, xoff = x_map(cqp)
-    # rows selecting each particle's final state
-    sel = np.zeros((M * xdim, M * NX))
-    for i in range(M):
-        sel[i * xdim:(i + 1) * xdim, i * NX + (N - 1) * xdim: i * NX + N * xdim] = np.eye(xdim)
-    S = sel @ Xmap  # (M*xdim, nz)
-    s0 = sel @ xoff
-    Hf = np.asarray(Hf, dtype=float)
-    hf = np.zeros(M * xdim) if hf is None else np.asarray(hf, dtype=float).reshape(-1)
+    # rows selecting each particle's final state, without a host selector
+    S = Xmap.reshape(M, N, xdim, nz)[:, N - 1].reshape(M * xdim, nz)
+    s0 = xoff.reshape(M, N, xdim)[:, N - 1].reshape(M * xdim)
+    Hf = jnp.asarray(Hf, dtype=dtype)
+    hf = jnp.zeros(M * xdim, dtype) if hf is None \
+        else jnp.asarray(hf, dtype=dtype).reshape(-1)
     H_extra = S.T @ Hf @ S
     q_extra = S.T @ (Hf @ s0 + hf)
     return H_extra, q_extra
+
+
+def _canon_extras(extra_cstrs, n_full) -> Tuple[Tuple, Tuple]:
+    """Canonicalize user tuples once on the host: numpy shapes cleaned up,
+    split into a STATIC signature (cache key of the jitted assembly) and the
+    dynamic arrays."""
+    sig, arrays = [], []
+    for ec in (extra_cstrs or []):
+        l, qsizes, e, G_left, G_right, h, c_left, c_right = tuple(ec)
+        G_left = np.asarray(G_left, dtype=float)
+        if G_left.ndim == 1:
+            G_left = G_left[None, :]
+        assert G_left.shape[1] == n_full, (
+            f"extra constraint G_left has {G_left.shape[1]} cols, expected "
+            f"{n_full} (consensus layout [u_cons; u_free_1..M; x_1..M])")
+        h = np.asarray(h, dtype=float).reshape(-1)
+        G_right = np.asarray(G_right, dtype=float)
+        if G_right.ndim != 2:
+            G_right = G_right[:, None] if G_right.size else \
+                G_right.reshape(len(h), 0)
+        c_left = np.asarray(c_left, dtype=float).reshape(-1)
+        c_right = np.asarray(c_right, dtype=float).reshape(-1)
+        qsizes = tuple(int(s) for s in np.asarray(qsizes).reshape(-1))
+        sig.append((int(l), qsizes, int(e)))
+        arrays.append((G_left, G_right, h, c_left, c_right))
+    return tuple(sig), tuple(arrays)
+
+
+def _build_program(cqp: CondensedQP, dims, sig, ubounds, xbounds, ecs,
+                   H_extra, q_extra):
+    """Trace-time builder of the dense cone program over v = [z; aux].
+
+    Returns (P, q_ext, Gl, hl, soc_blocks, exp_blocks, Xmap, xoff); all jnp,
+    all shapes static functions of (dims, sig, operand shapes)."""
+    N, udim, xdim = dims
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    NX = cqp.g.shape[-1]
+    nz = nc + M * nf
+    nu_total, n_full = _full_layout_sizes(M, nc, nf, NX)
+    dtype = cqp.qf.dtype
+
+    H, q = dense_H_q(cqp)
+    if H_extra is not None:
+        H = H + H_extra
+    if q_extra is not None:
+        q = q + q_extra
+    Xmap, xoff = x_map(cqp)
+
+    n_aux_total = sum(int(G_right.shape[1]) for (_, G_right, _, _, _) in ecs)
+    nv = nz + n_aux_total
+    q_ext = jnp.concatenate([q, jnp.zeros((n_aux_total,), dtype)])
+    P = jnp.zeros((nv, nv), dtype).at[:nz, :nz].set(H)
+
+    Gl_rows: List[jnp.ndarray] = []
+    hl_rows: List[jnp.ndarray] = []
+    eye_v = jnp.eye(nv, dtype=dtype)
+
+    u_l, u_u = ubounds
+    if u_l is not None and u_u is not None:
+        ul = jnp.asarray(u_l, dtype).reshape(M, N * udim)
+        uu = jnp.asarray(u_u, dtype).reshape(M, N * udim)
+        # consensus controls take particle 0's bounds (lqp_utils.jl:323-331)
+        if nc:
+            sel_c = eye_v[:nc]
+            Gl_rows += [sel_c, -sel_c]
+            hl_rows += [uu[0, :nc], -ul[0, :nc]]
+        if nf:
+            sel_f = eye_v[nc:nz]  # (M*nf, nv) particle-major
+            Gl_rows += [sel_f, -sel_f]
+            hl_rows += [uu[:, nc:].reshape(-1), -ul[:, nc:].reshape(-1)]
+    x_l, x_u = xbounds
+    if x_l is not None and x_u is not None:
+        xl = jnp.asarray(x_l, dtype).reshape(M * NX)
+        xu = jnp.asarray(x_u, dtype).reshape(M * NX)
+        Gx = jnp.zeros((M * NX, nv), dtype).at[:, :nz].set(Xmap)
+        Gl_rows += [Gx, -Gx]
+        hl_rows += [xu - xoff, -(xl - xoff)]
+
+    soc_blocks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    exp_blocks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    aux_off = nz
+    for (l, qsizes, e), (G_left, G_right, h, c_left, c_right) in zip(sig, ecs):
+        G_left = jnp.asarray(G_left, dtype)
+        G_right = jnp.asarray(G_right, dtype)
+        h = jnp.asarray(h, dtype)
+        n_aux = G_right.shape[1]
+        # lift rows over z_full = [u; x] onto v (states eliminated)
+        Gu = G_left[:, :nu_total]
+        Gx_part = G_left[:, nu_total:]
+        Gv = Gu + Gx_part @ Xmap
+        h_adj = h - Gx_part @ xoff
+        G_full = jnp.zeros((Gv.shape[0], nv), dtype).at[:, :nz].set(Gv)
+        if n_aux:
+            G_full = G_full.at[:, aux_off:aux_off + n_aux].set(G_right)
+
+        if c_left.size:
+            assert c_left.size in (n_full, nz), c_left.size
+            cl = jnp.asarray(c_left, dtype)
+            if c_left.size == n_full:
+                q_ext = q_ext.at[:nz].add(cl[:nu_total] + Xmap.T @ cl[nu_total:])
+            else:
+                q_ext = q_ext.at[:nz].add(cl)
+        if n_aux and c_right.size:
+            q_ext = q_ext.at[aux_off:aux_off + n_aux].add(
+                jnp.asarray(c_right, dtype))
+
+        if l:
+            Gl_rows.append(G_full[:l])
+            hl_rows.append(h_adj[:l])
+        r = l
+        for sz in qsizes:
+            soc_blocks.append((G_full[r:r + sz], h_adj[r:r + sz]))
+            r += sz
+        # exp cones: e TRIPLES of rows after the lin/SOC sections, ECOS
+        # convention (cone_utils.jl:99-170, make_logbarrier_constraint):
+        # s = h - Gv with exp(s_x / s_z) <= s_y / s_z, s_z > 0
+        for _ in range(e):
+            exp_blocks.append((G_full[r:r + 3], h_adj[r:r + 3]))
+            r += 3
+        aux_off += n_aux
+
+    Gl = jnp.concatenate(Gl_rows, axis=0) if Gl_rows \
+        else jnp.zeros((0, nv), dtype)
+    hl = jnp.concatenate(hl_rows) if hl_rows else jnp.zeros((0,), dtype)
+    return P, q_ext, Gl, hl, soc_blocks, exp_blocks, Xmap, xoff
+
+
+def _pad_socs(soc_blocks, nv, dtype):
+    """Stack variable-size SOC blocks into padded (ncones, pmax, nv) arrays."""
+    ncones = len(soc_blocks)
+    pmax = max((int(g.shape[0]) for g, _ in soc_blocks), default=1)
+    Gq = jnp.zeros((ncones, pmax, nv), dtype)
+    hq = jnp.zeros((ncones, pmax), dtype)
+    for i, (g, hh) in enumerate(soc_blocks):
+        p = int(g.shape[0])
+        Gq = Gq.at[i, :p].set(g)
+        hq = hq.at[i, :p].set(hh)
+    return Gq, hq
+
+
+def _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim):
+    """Stitch (M, N, udim) controls + roll states through the condensed map."""
+    U = jnp.concatenate([
+        jnp.broadcast_to(w[:nc], (M, nc)),
+        w[nc:nc + M * nf].reshape(M, nf)], axis=1).reshape(M, N, udim)
+    X = (Xmap @ w + xoff).reshape(M, N, xdim)
+    return X, U
+
+
+@partial(jax.jit, static_argnames=("dims", "sig", "iters", "tol_exp", "kappa"))
+def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
+                         H_extra, q_extra, iters: int, tol_exp: int,
+                         kappa: float):
+    """One compiled program per constraint signature: assemble the dense cone
+    QP and solve it with the NT-scaled cone IPM, all on device."""
+    N, udim, xdim = dims
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    dtype = cqp.qf.dtype
+    P, q_ext, Gl, hl, soc_blocks, exp_blocks, Xmap, xoff = _build_program(
+        cqp, dims, sig, ubounds, xbounds, ecs, H_extra, q_extra)
+    assert not exp_blocks  # exp cones take the host fallback
+    nv = q_ext.shape[0]
+    Gq, hq = _pad_socs(soc_blocks, nv, dtype)
+    prob = ConeLP(P=P, q=q_ext, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
+    v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
+                                   kappa=kappa)
+    nz = nc + M * nf
+    X, U = _recover_XU(v[:nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
+    return X, U, v[nz:], stats
 
 
 def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
@@ -104,7 +274,8 @@ def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
     H, q = np.asarray(H, float), np.asarray(q, float)
     cons = []
     if Gl.shape[0]:
-        cons.append(sopt.LinearConstraint(Gl, -np.inf, hl))
+        cons.append(sopt.LinearConstraint(np.asarray(Gl, float), -np.inf,
+                                          np.asarray(hl, float)))
     for G, h in soc_blocks:
         G, h = np.asarray(G, float), np.asarray(h, float)
 
@@ -141,8 +312,8 @@ def cone_solve_with_extras(
     u_l, u_u, x_l, x_u,
     extra_cstrs: Sequence[Tuple],
     settings: Optional[Dict[str, Any]] = None,
-    H_extra: Optional[np.ndarray] = None,
-    q_extra: Optional[np.ndarray] = None,
+    H_extra: Optional[jnp.ndarray] = None,
+    q_extra: Optional[jnp.ndarray] = None,
 ):
     """Solve the condensed problem with box + arbitrary extra cone constraints.
 
@@ -154,186 +325,43 @@ def cone_solve_with_extras(
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     NX = cqp.g.shape[-1]
     nz = nc + M * nf
-    nu_total, n_full = _full_layout_sizes(M, nc, nf, NX)
-    dtype = np.asarray(cqp.qf).dtype
+    _, n_full = _full_layout_sizes(M, nc, nf, NX)
+    dtype = np.dtype(np.asarray(cqp.qf).dtype)
 
-    H, q = dense_H_q(cqp)
-    if H_extra is not None:
-        H = H + H_extra
-    if q_extra is not None:
-        q = q + q_extra
-    Xmap, xoff = x_map(cqp)
+    sig, ecs = _canon_extras(extra_cstrs, n_full)
+    dims = (N, udim, xdim)
+    ubounds = (None if u_l is None else jnp.asarray(u_l, dtype),
+               None if u_u is None else jnp.asarray(u_u, dtype))
+    xbounds = (None if x_l is None else jnp.asarray(x_l, dtype),
+               None if x_u is None else jnp.asarray(x_u, dtype))
+    ecs_j = tuple(tuple(jnp.asarray(a, dtype) for a in ec) for ec in ecs)
 
-    Gl_rows: List[np.ndarray] = []
-    hl_rows: List[np.ndarray] = []
-
-    def add_rows(G, h):
-        Gl_rows.append(G)
-        hl_rows.append(np.atleast_1d(h))
-
-    eye_z = np.eye(nz)
-    if u_l is not None and u_u is not None:
-        ul = np.asarray(u_l).reshape(M, N * udim)
-        uu = np.asarray(u_u).reshape(M, N * udim)
-        # consensus controls take particle 0's bounds (lqp_utils.jl:323-331)
-        sel_c = eye_z[:nc]
-        if nc:
-            add_rows(sel_c, uu[0, :nc])
-            add_rows(-sel_c, -ul[0, :nc])
-        for i in range(M):
-            sel_f = eye_z[nc + i * nf: nc + (i + 1) * nf]
-            if nf:
-                add_rows(sel_f, uu[i, nc:])
-                add_rows(-sel_f, -ul[i, nc:])
-    if x_l is not None and x_u is not None:
-        xl = np.asarray(x_l).reshape(M * NX)
-        xu = np.asarray(x_u).reshape(M * NX)
-        add_rows(Xmap, xu - xoff)
-        add_rows(-Xmap, -(xl - xoff))
-
-    soc_blocks: List[Tuple[np.ndarray, np.ndarray]] = []
-    exp_blocks: List[Tuple[np.ndarray, np.ndarray]] = []
-    n_aux_total = 0
-
-    # first pass: count aux variables
-    extras = [tuple(e) for e in (extra_cstrs or [])]
-    for ec in extras:
-        l, qsizes, e, G_left, G_right, h, c_left, c_right = ec
-        gr = np.asarray(G_right)
-        n_aux_total += gr.shape[1] if gr.ndim == 2 else (1 if gr.size else 0)
-
-    nv = nz + n_aux_total
-    aux_off = nz
-    q_ext = np.concatenate([q, np.zeros(n_aux_total)])
-    H_ext = np.zeros((nv, nv))
-    H_ext[:nz, :nz] = H
-
-    def lift_left(G_left):
-        """Map rows over z_full=[u;x] to rows over v (z part only)."""
-        G_left = np.asarray(G_left, dtype=float)
-        if G_left.ndim == 1:
-            G_left = G_left[None, :]
-        assert G_left.shape[1] == n_full, (
-            f"extra constraint G_left has {G_left.shape[1]} cols, expected "
-            f"{n_full} (= {nu_total} controls + {M * NX} states in the "
-            "consensus layout)"
-        )
-        Gu = G_left[:, :nu_total]
-        Gx = G_left[:, nu_total:]
-        Gv = Gu + Gx @ Xmap
-        h_shift = Gx @ xoff
-        return Gv, h_shift
-
-    # second pass: build rows
-    for ec in extras:
-        l, qsizes, e, G_left, G_right, h, c_left, c_right = ec
-        G_left = np.asarray(G_left, dtype=float)
-        G_right = np.asarray(G_right, dtype=float)
-        h = np.asarray(h, dtype=float).reshape(-1)
-        c_left = np.asarray(c_left, dtype=float).reshape(-1)
-        c_right = np.asarray(c_right, dtype=float).reshape(-1)
-        if G_right.ndim == 1:
-            G_right = G_right[:, None] if G_right.size else G_right.reshape(len(h), 0)
-        n_aux = G_right.shape[1]
-
-        Gv, h_shift = lift_left(G_left)
-        G_full = np.zeros((Gv.shape[0], nv))
-        G_full[:, :nz] = Gv
-        if n_aux:
-            G_full[:, aux_off:aux_off + n_aux] = G_right
-        h_adj = h - h_shift
-
-        # cost contributions
-        if c_left.size:
-            assert c_left.size in (n_full, nz), c_left.size
-            if c_left.size == n_full:
-                q_ext[:nz] += c_left[:nu_total] + Xmap.T @ c_left[nu_total:]
-            else:
-                q_ext[:nz] += c_left
-        if n_aux and c_right.size:
-            q_ext[aux_off:aux_off + n_aux] += c_right
-
-        qsizes = [int(s) for s in np.asarray(qsizes).reshape(-1)]
-        l = int(l)
-        if l:
-            Gl_rows.append(G_full[:l])
-            hl_rows.append(h_adj[:l])
-        r = l
-        for sz in qsizes:
-            soc_blocks.append((G_full[r:r + sz], h_adj[r:r + sz]))
-            r += sz
-        # exp cones: e TRIPLES of rows after the lin/SOC sections, ECOS
-        # convention (cone_utils.jl:99-170, make_logbarrier_constraint):
-        # s = h - Gv with exp(s_x / s_z) <= s_y / s_z, s_z > 0
-        for _ in range(int(e)):
-            exp_blocks.append((G_full[r:r + 3], h_adj[r:r + 3]))
-            r += 3
-        aux_off += n_aux
-
-    # pad earlier box rows (over z) to nv columns
-    Gl_list = []
-    for G in Gl_rows:
-        if G.shape[1] == nz:
-            Gp = np.zeros((G.shape[0], nv))
-            Gp[:, :nz] = G
-            Gl_list.append(Gp)
-        else:
-            Gl_list.append(G)
-    Gl = np.concatenate(Gl_list, axis=0) if Gl_list else np.zeros((0, nv))
-    hl = np.concatenate(hl_rows) if hl_rows else np.zeros(0)
-
-    if exp_blocks:
+    has_exp = any(e for (_, _, e) in sig)
+    if has_exp:
         # exponential cones make the program non-symmetric: solved on the
         # host (scipy, convex) — the reference also solves these on CPU
         # (ECOS); pmpc_tpu's own logbarrier smoothing never reaches here
         # (it is the TPU central-path solve, see solvers/ipm.py mu_target)
-        Gl_np = np.concatenate(
-            [np.pad(G, ((0, 0), (0, nv - G.shape[1]))) for G in Gl_rows], axis=0
-        ) if Gl_rows else np.zeros((0, nv))
-        hl_np = np.concatenate(hl_rows) if hl_rows else np.zeros(0)
-        v = _solve_exp_host(H_ext, q_ext, Gl_np, hl_np, soc_blocks, exp_blocks)
-        v = np.asarray(v)
-        w = v[:nz]
-        U = np.zeros((M, N, udim))
-        for i in range(M):
-            ui = np.concatenate([w[:nc], w[nc + i * nf: nc + (i + 1) * nf]])
-            U[i] = ui.reshape(N, udim)
-        X = (Xmap @ w + xoff).reshape(M, N, xdim)
+        P, q_ext, Gl, hl, soc_blocks, exp_blocks, Xmap, xoff = _build_program(
+            cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra)
+        v = _solve_exp_host(P, q_ext, Gl, hl, soc_blocks, exp_blocks)
+        w = jnp.asarray(v[:nz], dtype)
+        X, U = _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim)
         data = dict(solver_state=settings.get("solver_state"),
                     ipm_converged=True, exp_host_fallback=True, aux=v[nz:])
-        return X, U, data
+        return np.asarray(X), np.asarray(U), data
 
-    ncones = len(soc_blocks)
-    pmax = max((g.shape[0] for g, _ in soc_blocks), default=1)
-    Gq = np.zeros((ncones, pmax, nv))
-    hq = np.zeros((ncones, pmax))
-    for i, (g, hh) in enumerate(soc_blocks):
-        p = g.shape[0]
-        Gq[i, :p] = g
-        hq[i, :p] = hh
-
-    prob = ConeLP(
-        P=jnp.asarray(H_ext, dtype=dtype), q=jnp.asarray(q_ext, dtype=dtype),
-        Gl=jnp.asarray(Gl, dtype=dtype), hl=jnp.asarray(hl, dtype=dtype),
-        Gq=jnp.asarray(Gq, dtype=dtype), hq=jnp.asarray(hq, dtype=dtype),
-    )
     iters = int(settings.get("ipm_iters", 35))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-7))
-    v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp, kappa=kappa)
-
-    v = np.asarray(v)
-    w = v[:nz]
-    U = np.zeros((M, N, udim))
-    for i in range(M):
-        ui = np.concatenate([w[:nc], w[nc + i * nf: nc + (i + 1) * nf]])
-        U[i] = ui.reshape(N, udim)
-    X = (Xmap @ w + xoff).reshape(M, N, xdim)
+    X, U, aux, stats = _solve_extras_device(
+        cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
+        iters=iters, tol_exp=tol_exp, kappa=kappa)
     data = dict(
         solver_state=settings.get("solver_state"),
         ipm_mu=float(stats["mu"]),
         ipm_iters=int(stats["iters"]),
         ipm_converged=bool(stats["converged"]),
-        aux=v[nz:],
+        aux=np.asarray(aux),
     )
-    return X, U, data
+    return np.asarray(X), np.asarray(U), data

@@ -1,0 +1,521 @@
+"""Stage-structured (Riccati) box-constrained IPM: the O(N) long-horizon path.
+
+The condensed IPM (`ipm.py`) materializes the O(N^2) sensitivity ``Ft`` and
+factors (Nf udim)^2 dense blocks per particle — ideal at short horizons. This
+module runs the SAME Mehrotra predictor-corrector box IPM but solves every
+Newton system with a theta-parameterized Riccati sweep (the `riccati.py`
+machinery), never building ``Ft``:
+
+- the QP stays in stage form (states implicit through the dynamics chain),
+- box-constraint barrier weights are DIAGONAL in control space, so the IPM
+  Newton matrix ``H + G' diag(w) G`` is the same stage-structured Hessian
+  with ``diag(w_j)`` added to the free stages' ``Rt_j`` and ``diag(w_c)``
+  added to the consensus Schur complement at the root — the Riccati
+  factorization absorbs them at no extra cost,
+- gradients are computed by rollout + adjoint (``jax.grad`` of the stage
+  objective), which is the FACTORED form: no condensation-squared
+  conditioning loss in f32,
+- consensus (shared first-Nc controls) is the per-particle theta-quadratic
+  sum of `riccati._theta_backward` — a psum when particles are sharded.
+
+Each IPM iteration costs one quadratic backward sweep (the factorization,
+reused by predictor and corrector) + two linear backward/forward sweep pairs
++ one gradient rollout: all O(N) scans of tiny dense ops, vmapped over
+particles x scenarios.
+
+Role parity: long-horizon replacement for the reference's sparse CPU
+factorizations (block-bidiagonal equality chains handed to ECOS/OSQP,
+``PMPC.jl/src/lqp_utils.jl:219-303``); SURVEY §5 long-context note. Slew
+coupling and state boxes need the condensed path (gated by the dispatcher).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.linalg import cholesky_factor, cholesky_solve
+from ..utils import with_matmul_precision
+from .riccati import _scp_stage_terms
+
+
+class RiccatiFactor(NamedTuple):
+    """Stored factorization of one stage-structured Newton matrix, batched
+    over particles (leading (M, N, ...) axes); ``P0`` is the root value
+    quadratic over the augmented variable y0 = [x0; theta]."""
+
+    Aa: jax.Array   # (M, N, na, na) augmented transitions [[A, B E],[0, I]]
+    Mn: jax.Array   # (M, N, na, na) cost-to-go + stage cost quadratic
+    L: jax.Array    # (M, N, udim, udim) chol(Huu) (garbage on consensus stages)
+    K: jax.Array    # (M, N, udim, na) feedback gains (zeroed on consensus stages)
+    Huy: jax.Array  # (M, N, udim, na) cross terms (zeroed on consensus stages)
+    P0: jax.Array   # (M, na, na)
+
+
+def _selectors(N: int, Nc: int, udim: int, dtype):
+    """Consensus selectors E_j (u_j = E_j theta for j < Nc) and the free-stage
+    mask. ``nct = max(nc, 1)``: the theta block is padded to one dummy entry
+    when Nc == 0 (zero-sized arrays in while_loop carries hang the remote
+    compiler), masked out everywhere."""
+    nc = Nc * udim
+    nct = max(nc, 1)
+    if Nc:
+        eye = jnp.eye(nc, dtype=dtype).reshape(Nc, udim, nc)
+        Es = jnp.concatenate([eye, jnp.zeros((N - Nc, udim, nc), dtype)], axis=0)
+    else:
+        Es = jnp.zeros((N, udim, nct), dtype)
+    free = (jnp.arange(N) >= Nc).astype(dtype)
+    maskc = (jnp.arange(nct) < nc).astype(dtype)  # live theta entries
+    return Es, free, nct, maskc
+
+
+def _factor_one(A, B, Qt, Rt_eff, Es, free, xdim: int, kappa: float):
+    """Backward quadratic sweep of ONE particle: factor the stage-structured
+    Hessian (barrier weights already folded into ``Rt_eff``). RHS-independent,
+    reused for every linear solve against this Newton matrix."""
+    nct = Es.shape[-1]
+    na = xdim + nct
+    dtype = A.dtype
+    eye_nc = jnp.eye(nct, dtype=dtype)
+
+    def backward(P, inp):
+        A_j, B_j, Qt_j, Rt_j, E_j, w = inp
+        Aa = jnp.zeros((na, na), dtype)
+        Aa = Aa.at[:xdim, :xdim].set(A_j)
+        Aa = Aa.at[xdim:, xdim:].set(eye_nc)
+        Aa = Aa.at[:xdim, xdim:].add((1.0 - w) * (B_j @ E_j))
+        # stage cost on y_j = [x_j; theta]: Qt on x; consensus-stage control
+        # cost routed through E onto the theta block
+        Mn = P.at[:xdim, :xdim].add(Qt_j)
+        Mn = Mn.at[xdim:, xdim:].add((1.0 - w) * (E_j.T @ Rt_j @ E_j))
+        MA = Mn @ Aa
+        MB = Mn[:, :xdim] @ B_j  # Ba = [B; 0]
+        Huu = Rt_j + B_j.T @ MB[:xdim]
+        L = cholesky_factor(Huu, jitter=kappa)
+        Huy = B_j.T @ MA[:xdim]
+        K_j = -cholesky_solve(L, Huy)
+        AtMA = Aa.T @ MA
+        P_new = AtMA + w * (Huy.T @ K_j)
+        P_new = 0.5 * (P_new + P_new.T)
+        return P_new, (Aa, Mn, L, w * K_j, w * Huy)
+
+    P0, (Aa, Mn, L, K, Huy) = lax.scan(
+        backward, jnp.zeros((na, na), dtype), (A, B, Qt, Rt_eff, Es, free),
+        reverse=True)
+    return Aa, Mn, L, K, Huy, P0
+
+
+def riccati_factor(A, B, Qt, Rt_eff, Es, free, xdim: int,
+                   kappa: float = 0.0) -> RiccatiFactor:
+    """Particle-vmapped quadratic backward sweep."""
+    out = jax.vmap(
+        lambda A_, B_, Q_, R_: _factor_one(A_, B_, Q_, R_, Es, free, xdim, kappa)
+    )(A, B, Qt, Rt_eff)
+    return RiccatiFactor(*out)
+
+
+def _lin_backward_one(Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free, xdim: int):
+    """Backward LINEAR sweep of one particle against a stored factor.
+
+    Cost convention (matches `riccati.py`): stage linear terms enter the
+    objective as ``- xt_j' x_j - ut_j' u_j``; ``utf`` applies to eliminated
+    (free) stage controls, ``utc`` to consensus-stage controls (routed onto
+    the theta block). ``c`` is the dynamics offset (zero for Newton solves).
+    Returns (p0 (na,), k (N, udim))."""
+
+    def backward(p, inp):
+        Aa_j, Mn_j, L_j, Huy_j, B_j, c_j, xt_j, utf_j, utc_j, E_j, w = inp
+        mn = p.at[:xdim].add(-xt_j)
+        mn = mn.at[xdim:].add(-(1.0 - w) * (E_j.T @ utc_j))
+        Mc_m = Mn_j[:, :xdim] @ c_j + mn
+        hu = -utf_j + B_j.T @ Mc_m[:xdim]
+        k_j = -cholesky_solve(L_j, hu)
+        p_new = Aa_j.T @ Mc_m + Huy_j.T @ k_j  # Huy already zeroed on cons stages
+        return p_new, w * k_j
+
+    p0, k = lax.scan(
+        backward, jnp.zeros((Aa.shape[-1],), Aa.dtype),
+        (Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free), reverse=True)
+    return p0, k
+
+
+def _forward_one(x0, c, A, B, K, k, Es, free, theta):
+    """Forward rollout of one particle given theta and the stage gains."""
+
+    def fwd(x, inp):
+        c_j, A_j, B_j, K_j, k_j, E_j, w = inp
+        y = jnp.concatenate([x, theta])
+        u = (K_j @ y + k_j) + (1.0 - w) * (E_j @ theta)  # K,k zeroed on cons
+        x_next = c_j + A_j @ x + B_j @ u
+        return x_next, (x_next, u)
+
+    _, (X, U) = lax.scan(fwd, x0, (c, A, B, K, k, Es, free))
+    return X, U
+
+
+def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
+                     wc, theta_lin, Es, free, maskc, xdim: int, kappa: float):
+    """Solve one stage-structured system against a stored factor: per-particle
+    linear backward sweeps, theta Schur reduction (the consensus sum — a psum
+    when particles are sharded), per-particle forward rollouts.
+
+    Returns (theta (nct,), X (M, N, xdim), U (M, N, udim))."""
+    dtype = fac.Aa.dtype
+    p0, k = jax.vmap(
+        lambda Aa, Mn, L, Huy, B_, c_, xt_, utf_, utc_: _lin_backward_one(
+            Aa, Mn, L, Huy, B_, c_, xt_, utf_, utc_, Es, free, xdim)
+    )(fac.Aa, fac.Mn, fac.L, fac.Huy, B, c, xt, utf, utc)
+    S = fac.P0[:, xdim:, xdim:]
+    s = p0[:, xdim:] + jnp.einsum("mij,mj->mi", fac.P0[:, xdim:, :xdim], x0)
+    nct = S.shape[-1]
+    eye = jnp.eye(nct, dtype=dtype)
+    # dead (padded / Nc=0) theta entries pinned to 0 via identity rows
+    S_tot = jnp.sum(S, axis=0) * maskc[:, None] * maskc[None, :] \
+        + jnp.diag(wc * maskc) + (1.0 - maskc) * eye + kappa * eye
+    rhs = (theta_lin - jnp.sum(s, axis=0)) * maskc
+    theta = cholesky_solve(cholesky_factor(S_tot), rhs)
+    X, U = jax.vmap(
+        lambda x0_, c_, A_, B_, K_, k_: _forward_one(
+            x0_, c_, A_, B_, K_, k_, Es, free, theta)
+    )(x0, c, fac.Aa[:, :, :xdim, :xdim], B, fac.K, k)
+    return theta, X, U
+
+
+def _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut, Nc: int, maskc):
+    """Gradient of the stage objective w.r.t. (theta, uf): the FACTORED
+    ``H z + q`` (rollout + adjoint via jax.grad — no condensed Ft)."""
+    M, N = c.shape[0], c.shape[1]
+    udim = B.shape[-1]
+
+    def obj_one(th, uf_i, x0_i, c_i, A_i, B_i, Qt_i, xt_i, Rt_i, ut_i):
+        U_cons = (th * maskc).reshape(Nc, udim) if Nc else \
+            jnp.zeros((0, udim), th.dtype)
+        U = jnp.concatenate([U_cons, uf_i.reshape(N - Nc, udim)], axis=0)
+
+        def step(x, inp):
+            c_j, A_j, B_j, u_j = inp
+            xn = c_j + A_j @ x + B_j @ u_j
+            return xn, xn
+
+        _, X = lax.scan(step, x0_i, (c_i, A_i, B_i, U))
+        cx = 0.5 * jnp.einsum("ni,nij,nj->", X, Qt_i, X) - jnp.sum(xt_i * X)
+        cu = 0.5 * jnp.einsum("ni,nij,nj->", U, Rt_i, U) - jnp.sum(ut_i * U)
+        return cx + cu
+
+    def total(th, uf_all):
+        vals = jax.vmap(
+            lambda uf_i, x0_i, c_i, A_i, B_i, Q_i, xt_i, R_i, ut_i: obj_one(
+                th, uf_i, x0_i, c_i, A_i, B_i, Q_i, xt_i, R_i, ut_i)
+        )(uf_all, x0, c, A, B, Qt, xt, Rt, ut)
+        return jnp.sum(vals)
+
+    return jax.grad(total, argnums=(0, 1))(theta, uf)
+
+
+class RIPMState(NamedTuple):
+    theta: jax.Array  # (nct,)
+    uf: jax.Array     # (M, nfu)
+    s: jax.Array      # (mtot,) slacks [c_lo; c_hi; f_lo; f_hi]
+    lam: jax.Array    # (mtot,)
+    mu: jax.Array
+    done: jax.Array
+    ok: jax.Array
+    iters: jax.Array
+    failed: jax.Array  # froze on a bad (non-finite/diverged) step without converging
+
+
+@partial(jax.jit, static_argnames=("Nc", "iters", "tol_exp", "kappa", "tau"))
+@with_matmul_precision("highest")
+def riccati_ipm_core(
+    x0, c, A, B, Qt, xt, Rt, ut,
+    lo_c, hi_c, lo_f, hi_f,
+    Nc: int,
+    iters: int = 20,
+    tol_exp: int = -6,
+    kappa: float = 0.0,
+    warm: Optional[Tuple] = None,
+    tol_dynamic: Optional[jax.Array] = None,
+    tau: Optional[float] = None,
+):
+    """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
+
+    Args:
+        x0 (M, xdim); c/A/B/Qt/xt/Rt/ut: per-particle stage data (M, N, ...)
+            in the `riccati.py` cost convention.
+        lo_c/hi_c (nct,): consensus control bounds (+-inf when absent;
+            particle-0 convention of ``lqp_utils.jl:323-331``).
+        lo_f/hi_f (M, nfu): free control bounds, nfu = (N - Nc) * udim.
+        warm: (theta, uf, s, lam) from a previous nearby solve.
+
+    Returns (theta (nct,), uf (M, nfu), stats) — recover trajectories with
+    `recover_XU_stage`.
+    """
+    M, N = c.shape[0], c.shape[1]
+    xdim = x0.shape[-1]
+    udim = B.shape[-1]
+    dtype = c.dtype
+    Es, free, nct, maskc = _selectors(N, Nc, udim, dtype)
+    nfu = (N - Nc) * udim
+    Nf = N - Nc
+    mtot = 2 * nct + 2 * M * nfu
+    o_chi, o_flo, o_fhi = nct, 2 * nct, 2 * nct + M * nfu
+
+    tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
+    if tol_dynamic is not None:
+        tol = jnp.maximum(jnp.asarray(tol_dynamic, dtype=dtype), tol)
+    tau = jnp.asarray(0.99 if tau is None else tau, dtype=dtype)
+
+    lo_flat = jnp.concatenate([lo_c, hi_c, lo_f.reshape(-1), hi_f.reshape(-1)])
+    mask = jnp.isfinite(lo_flat) & jnp.concatenate([
+        maskc > 0, maskc > 0,
+        jnp.ones((2 * M * nfu,), bool)])
+    n_act = jnp.maximum(jnp.sum(mask).astype(dtype), 1.0)
+
+    def slack_vals(theta, uf):
+        return jnp.concatenate([
+            theta - lo_c, hi_c - theta,
+            (uf - lo_f).reshape(-1), (hi_f - uf).reshape(-1),
+        ])
+
+    def g_dot_z(dth, duf):
+        duf_f = duf.reshape(-1)
+        return jnp.concatenate([-dth, dth, -duf_f, duf_f])
+
+    def gT_dot(v):
+        bc = v[o_chi:o_flo] - v[:nct]
+        bf = (v[o_fhi:] - v[o_flo:o_fhi]).reshape(M, nfu)
+        return bc, bf
+
+    def grad_lagrangian(theta, uf, lam):
+        gc, gf = _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut,
+                                 Nc, maskc)
+        dc, df = gT_dot(lam)
+        return (gc + dc) * maskc, gf + df
+
+    # stage views of the free-control RHS/weights: (M, nfu) <-> (M, Nf, udim)
+    def to_stages(bf):
+        pad = jnp.zeros((M, Nc, udim), dtype)
+        return jnp.concatenate([pad, bf.reshape(M, Nf, udim)], axis=1)
+
+    zeros_utc = jnp.zeros((M, N, udim), dtype)
+    zeros_xt = jnp.zeros((M, N, xdim), dtype)
+    zeros_c = jnp.zeros((M, N, xdim), dtype)
+    zeros_x0 = jnp.zeros((M, xdim), dtype)
+
+    def newton_factor(wc, wf):
+        """Factor H + diag(w): free-stage weights onto Rt_j, consensus weights
+        onto the theta Schur complement (applied in `solve`)."""
+        wf_stage = to_stages(wf)  # (M, N, udim), zero on consensus stages
+        eye_u = jnp.eye(udim, dtype=dtype)
+        Rt_eff = Rt + wf_stage[:, :, :, None] * eye_u
+        fac = riccati_factor(A, B, Qt, Rt_eff, Es, free, xdim, kappa=kappa)
+
+        def solve(bc, bf):
+            th, _, dU = _consensus_solve(
+                fac, B, zeros_c, zeros_x0, zeros_xt, to_stages(bf),
+                zeros_utc, wc, bc, Es, free, maskc, xdim, kappa)
+            return th, dU[:, Nc:, :].reshape(M, nfu)
+
+        return solve
+
+    # -- initialization --------------------------------------------------------
+    if warm is not None:
+        th0, uf0, warm_s, warm_lam = warm
+        delta = jnp.asarray(1e-2, dtype)
+        sv = slack_vals(th0, uf0)
+        s0 = jnp.where(mask, jnp.maximum(sv, delta), 1.0)
+        lam0 = jnp.where(mask, jnp.maximum(warm_lam, delta), 0.0)
+    else:
+        # cold start: the unconstrained (equality) stage solve
+        fac0 = riccati_factor(A, B, Qt, Rt, Es, free, xdim, kappa=kappa)
+        th0, _, U0 = _consensus_solve(
+            fac0, B, c, x0, xt, to_stages(ut[:, Nc:].reshape(M, nfu)),
+            ut, jnp.zeros((nct,), dtype), jnp.zeros((nct,), dtype),
+            Es, free, maskc, xdim, kappa)
+        uf0 = U0[:, Nc:, :].reshape(M, nfu)
+        sv = slack_vals(th0, uf0)
+        s0 = jnp.where(mask, jnp.maximum(sv, 1.0), 1.0)
+        lam0 = jnp.where(mask, 1.0 / s0, 0.0)
+    mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
+    state0 = RIPMState(th0, uf0, s0, lam0, mu0,
+                       jnp.asarray(False), jnp.asarray(False),
+                       jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+    w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
+
+    def body(state):
+        theta, uf, s, lam, mu, done, ok, it_count, failed = state
+        sv = slack_vals(theta, uf)
+        r_p = jnp.where(mask, s - sv, 0.0)
+        gc, gf = grad_lagrangian(theta, uf, lam)
+        w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
+        solve_K = newton_factor(w[:nct] + w[o_chi:o_flo],
+                                (w[o_flo:o_fhi] + w[o_fhi:]).reshape(M, nfu))
+
+        def newton_rhs(r_c):
+            v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
+            dc, df = gT_dot(v)
+            return (-(gc + dc) * maskc, -(gf + df)), v
+
+        def recover_steps(dth, duf, v):
+            gdz = g_dot_z(dth, duf)
+            ds = jnp.where(mask, -r_p - gdz, 0.0)
+            dlam = jnp.where(mask, w * gdz + v, 0.0)
+            return ds, dlam
+
+        def step_len(s_, ds, lam_, dlam):
+            rp_ = jnp.where(mask & (ds < 0), -s_ / jnp.where(ds < 0, ds, -1.0),
+                            jnp.inf)
+            rd_ = jnp.where(mask & (dlam < 0),
+                            -lam_ / jnp.where(dlam < 0, dlam, -1.0), jnp.inf)
+            return (jnp.minimum(1.0, tau * jnp.min(rp_)),
+                    jnp.minimum(1.0, tau * jnp.min(rd_)))
+
+        def mu_of(s_, lam_):
+            return jnp.sum(jnp.where(mask, s_ * lam_, 0.0)) / n_act
+
+        # predictor (affine)
+        (bc, bf), v_aff = newton_rhs(jnp.where(mask, s * lam, 0.0))
+        dth_a, duf_a = solve_K(bc, bf)
+        ds_a, dlam_a = recover_steps(dth_a, duf_a, v_aff)
+        ap_a, ad_a = step_len(s, ds_a, lam, dlam_a)
+        mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a)
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+        sig_mu = sigma * mu
+        # corrector (same factorization)
+        r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
+        (bc, bf), v = newton_rhs(r_c)
+        dth, duf = solve_K(bc, bf)
+        ds, dlam = recover_steps(dth, duf, v)
+        ap, ad = step_len(s, ds, lam, dlam)
+
+        th_n = theta + ap * dth
+        uf_n = uf + ap * duf
+        s_n = jnp.where(mask, s + ap * ds, 1.0)
+        lam_n = jnp.where(mask, lam + ad * dlam, 0.0)
+        mu_n = mu_of(s_n, lam_n)
+
+        rp_inf = jnp.max(jnp.abs(r_p))
+        gd_inf = jnp.maximum(jnp.max(jnp.abs(gc)), jnp.max(jnp.abs(gf)))
+        step_bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(jnp.sum(th_n))
+                     & jnp.isfinite(jnp.sum(uf_n)))
+        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)
+        now_bad = step_bad | (mu_n > 1e12)
+
+        frozen = done | now_bad
+        sel = lambda a_, b_: jnp.where(frozen, b_, a_)
+        return RIPMState(
+            sel(th_n, theta), sel(uf_n, uf), sel(s_n, s), sel(lam_n, lam),
+            sel(mu_n, mu), done | now_done | now_bad, ok | now_done,
+            it_count + 1, failed | (now_bad & ~done & ~now_done))
+
+    state = lax.while_loop(
+        lambda st: (~st.done) & (st.iters < iters), lambda st: body(st), state0)
+
+    stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,
+                 failed=state.failed & ~state.ok, s=state.s, lam=state.lam)
+    return state.theta, state.uf, stats
+
+
+def recover_XU_stage(theta, uf, x0, c, A, B, Nc: int, maskc=None):
+    """Trajectories from an IPM point: stitch stage controls, roll out the
+    (linearized) dynamics. Returns (X (M, N, xdim), U (M, N, udim))."""
+    M, N = c.shape[0], c.shape[1]
+    udim = B.shape[-1]
+    dtype = c.dtype
+    if maskc is None:
+        maskc = jnp.ones(theta.shape, dtype)
+    U_cons = (theta * maskc)[: Nc * udim].reshape(Nc, udim) if Nc else \
+        jnp.zeros((0, udim), dtype)
+    U = jnp.concatenate([
+        jnp.broadcast_to(U_cons, (M, Nc, udim)),
+        uf.reshape(M, N - Nc, udim)], axis=1)
+
+    def fwd(x, inp):
+        c_j, A_j, B_j, u_j = inp
+        xn = c_j + A_j @ x + B_j @ u_j
+        return xn, xn
+
+    X = jax.vmap(lambda x0_, c_, A_, B_, U_: lax.scan(
+        fwd, x0_, (c_, A_, B_, U_))[1])(x0, c, A, B, U)
+    return X, U
+
+
+def riccati_ipm_solve_np(
+    base_args, reg_args, u_l, u_u, Nc: int,
+    settings: Optional[dict] = None,
+):
+    """numpy frontend of the stage-structured box IPM (host-path analog of
+    `ipm.ipm_solve_np`): threads a warm start through
+    ``settings["solver_state"]["riccati_warm"]`` across SCP iterations."""
+    settings = settings or {}
+    f = base_args[1]
+    M, N = f.shape[0], f.shape[1]
+    udim = base_args[3].shape[-1]
+    dtype = np.dtype(np.asarray(f).dtype)
+    nc = Nc * udim
+    nct = max(nc, 1)
+    nfu = (N - Nc) * udim
+    mtot = 2 * nct + 2 * M * nfu
+
+    warm = None
+    prev_state = settings.get("solver_state") or {}
+    cand = prev_state.get("riccati_warm") if isinstance(prev_state, dict) else None
+    if cand is not None:
+        th_w, uf_w, s_w, lam_w = cand
+        if (np.shape(th_w) == (nct,) and np.shape(uf_w) == (M, nfu)
+                and np.shape(s_w) == (mtot,) and np.shape(lam_w) == (mtot,)):
+            warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
+
+    iters = int(settings.get("ipm_iters", 30))
+    tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
+    kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
+
+    X, U, stats = riccati_ipm_solve_scp(
+        *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
+        *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
+        jnp.asarray(np.asarray(u_l, dtype=dtype)),
+        jnp.asarray(np.asarray(u_u, dtype=dtype)),
+        Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm)
+    warm_out = tuple(np.asarray(stats[k]) for k in ("theta", "uf", "s", "lam"))
+    data = dict(
+        solver_state=dict(riccati_warm=warm_out),
+        ipm_mu=float(stats["mu"]),
+        ipm_iters=int(stats["iters"]),
+        ipm_converged=bool(stats["converged"]),
+        ipm_failed=bool(stats["failed"]),
+    )
+    return np.asarray(X), np.asarray(U), data
+
+
+def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
+                          reg_x, reg_u, u_l, u_u, Nc: int, **kw):
+    """One box-constrained SCP subproblem via the stage-structured IPM.
+
+    Batched over the leading particle axis; bounds (M, N, udim) with the
+    consensus stages taking particle 0's rows. Returns (X, U, stats)."""
+    M, N = f.shape[0], f.shape[1]
+    udim = U_prev.shape[-1]
+    dtype = f.dtype
+    c, Qt, xt, Rt, ut = jax.vmap(_scp_stage_terms)(
+        x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref, reg_x, reg_u)
+    nc = Nc * udim
+    nct = max(nc, 1)
+    ul = u_l.reshape(M, N * udim)
+    uu = u_u.reshape(M, N * udim)
+    if nc:
+        lo_c, hi_c = ul[0, :nc], uu[0, :nc]
+    else:
+        lo_c = jnp.full((nct,), -jnp.inf, dtype)
+        hi_c = jnp.full((nct,), jnp.inf, dtype)
+    theta, uf, stats = riccati_ipm_core(
+        x0, c, fx, fu, Qt, xt, Rt, ut,
+        lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc, **kw)
+    _, _, _, maskc = _selectors(N, Nc, udim, dtype)
+    X, U = recover_XU_stage(theta, uf, x0, c, fx, fu, Nc, maskc)
+    return X, U, dict(stats, theta=theta, uf=uf)

@@ -1,0 +1,129 @@
+"""Stage-structured (Riccati) box IPM vs the condensed IPM and the oracle.
+
+The O(N) path must produce the SAME iterates as the condensed path: both run
+identical Mehrotra steps, only the Newton-system solver differs (theta-
+parameterized Riccati sweeps vs arrow factorization of the condensed K)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import oracle
+from fixtures import unicycle_step
+
+from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+from pmpc_tpu.solvers.ipm import ipm_solve_np
+from pmpc_tpu.solvers.riccati_ipm import riccati_ipm_solve_scp
+
+
+@pytest.mark.parametrize("M,N,Nc", [(3, 10, 3), (2, 8, 0), (4, 12, 4)])
+def test_riccati_ipm_matches_condensed(M, N, Nc):
+    rng = np.random.default_rng(3 + M + N)
+    xdim, udim = 4, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    u_l = np.full((M, N, udim), -0.5)
+    u_u = np.full((M, N, udim), 0.5)
+    base_args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+                 p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    reg_args = (np.full(M, 1.0), np.full(M, 0.1), np.zeros(M), np.zeros(M),
+                np.zeros((M, udim)))
+    Xc, Uc, dc = ipm_solve_np(base_args, reg_args, u_l, u_u, None, None, Nc=Nc,
+                              settings=dict(ipm_iters=40, ipm_tol_exp=-10))
+    assert dc["ipm_converged"]
+    Xr, Ur, st = riccati_ipm_solve_scp(
+        *[jnp.asarray(a) for a in base_args],
+        jnp.full((M,), 1.0), jnp.full((M,), 0.1),
+        jnp.asarray(u_l), jnp.asarray(u_u), Nc=Nc, iters=40, tol_exp=-10)
+    assert bool(st["converged"]) and not bool(st["failed"])
+    np.testing.assert_allclose(np.asarray(Ur), Uc, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(Xr), Xc, atol=1e-8)
+    # bounds must be active somewhere for the test to mean anything
+    assert (np.abs(np.abs(np.asarray(Ur)) - 0.5) < 1e-6).any()
+
+
+def test_fused_riccati_scp_matches_condensed():
+    """Full fused SCP loop: method='riccati' must track method='condensed'
+    step for step (same warm-started IPM iteration counts, same solution)."""
+    N, xdim, udim, M, Nc = 14, 4, 2, 3, 3
+    rng = np.random.default_rng(0)
+    d = make_scp_data(
+        np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim)),
+        np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        reg_x=1.0, reg_u=0.1,
+        u_l=-0.6 * np.ones((M, N, udim)), u_u=0.6 * np.ones((M, N, udim)))
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=Nc, max_it=8, res_tol=1e-7,
+              has_u_bounds=True, ipm_iters=40, ipm_tol_exp=-10,
+              collect_stats=True, adaptive_tol=False)
+    Xc, Uc, ic = build_scp_solver(unicycle_step, **kw)(d)
+    Xr, Ur, ir = build_scp_solver(unicycle_step, method="riccati", **kw)(d)
+    np.testing.assert_allclose(np.asarray(Ur), np.asarray(Uc), atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(ir["scan_stats"]["ipm_iters"]),
+                                  np.asarray(ic["scan_stats"]["ipm_iters"]))
+    # warm start across SCP iterations cuts the IPM iteration count
+    its = np.asarray(ir["scan_stats"]["ipm_iters"])
+    assert its[-1] < its[0]
+    U = np.asarray(Ur)
+    assert np.abs(U).max() <= 0.6 + 1e-8
+    assert np.ptp(U[:, :Nc], axis=0).max() < 1e-10  # exact consensus
+
+
+def test_riccati_gates_unsupported():
+    with pytest.raises(NotImplementedError):
+        build_scp_solver(unicycle_step, N=8, xdim=4, udim=2, M=2, Nc=2,
+                         method="riccati", has_u_soc=True)
+    with pytest.raises(NotImplementedError):
+        build_scp_solver(unicycle_step, N=8, xdim=4, udim=2, M=2, Nc=2,
+                         method="riccati", has_x_bounds=True)
+
+
+def test_host_dispatch_riccati_bounds():
+    """Host path: settings={'method': 'riccati'} + u bounds routes to the
+    stage-structured IPM, threads riccati_warm solver state, and matches the
+    default condensed route."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(11)
+    M, N, xdim, udim, Nc = 3, 10, 4, 2, 3
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    u_l = np.full((M, N, udim), -0.5)
+    u_u = np.full((M, N, udim), 0.5)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=u_l, u_u=u_u, x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings={})
+    st = dict(method="riccati", ipm_tol_exp=-10, ipm_iters=40)
+    Xr, Ur, dr = affine_solve_np(*args, **common, settings=st)
+    assert dr["ipm_converged"] and not dr["ipm_failed"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-6)
+    # warm state round-trips and cuts iterations on a re-solve
+    st2 = dict(st, solver_state=dr["solver_state"])
+    Xw, Uw, dw = affine_solve_np(*args, **common, settings=st2)
+    assert dw["ipm_iters"] < dr["ipm_iters"]
+    np.testing.assert_allclose(Uw, Ur, atol=1e-5)
+
+
+def test_host_dispatch_riccati_one_sided():
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(12)
+    M, N, xdim, udim, Nc = 2, 8, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    u_u = np.full((M, N, udim), 0.4)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=u_u, x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings={})
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common, settings=dict(method="riccati", ipm_tol_exp=-10))
+    np.testing.assert_allclose(Ur, Uc, atol=1e-6)
+    assert Ur.max() <= 0.4 + 1e-8
