@@ -1,0 +1,104 @@
+"""Throughput of the device-native CVaR-k and extras-SOC cone paths.
+
+Round 1 assembled these cone programs with per-iteration host numpy loops
+(the one part of the solve surface that was not TPU-native); round 2 moved
+the G/h assembly on device (batched Cholesky + broadcast-mask embeddings,
+one jitted program per constraint signature — solvers/cvar.py,
+solvers/extras.py). This measures the end-to-end `pmpc_tpu.solve` rate for
+both paths (warm, after the per-signature jit compile) plus correctness
+signals (cone feasibility, consensus spread).
+
+Role of the reference's k-worst CVaR objective (main.jl:221-232) and
+extra user cones (main.jl:292-316).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+
+
+def _u_norm_soc_fns(umax, Nc):
+    """extra_cstrs_fns returning one SOC per (particle, step): ||u_ij|| <= umax."""
+
+    def fns(X_prev, U_prev, problems):
+        M, N, udim = U_prev.shape
+        xdim = X_prev.shape[-1]
+        nc, nf = Nc * udim, (N - Nc) * udim
+        n_full = nc + M * nf + M * N * xdim
+        rows, hs, qsizes = [], [], []
+        seen = set()
+        for i in range(M):
+            for j in range(N):
+                if j < Nc:
+                    start = j * udim
+                else:
+                    start = nc + i * nf + (j - Nc) * udim
+                if (start,) in seen:
+                    continue
+                seen.add((start,))
+                G = np.zeros((1 + udim, n_full))
+                h = np.zeros(1 + udim)
+                h[0] = umax
+                for r in range(udim):
+                    G[1 + r, start + r] = -1.0
+                rows.append(G)
+                hs.append(h)
+                qsizes.append(1 + udim)
+        return [(0, qsizes, 0, np.concatenate(rows, 0), np.zeros((sum(qsizes), 0)),
+                 np.concatenate(hs), np.zeros(n_full), np.zeros(0))]
+
+    return fns
+
+
+def main():
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    f_fx_fu = dubins_f_fx_fu_fn()
+    M, N, xdim, udim, Nc = 16, 20, 4, 2, 5
+    rng = np.random.default_rng(7)
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    x0 = np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim))
+
+    def run(tag, reps=5, **kw):
+        # cold call (per-signature compile) then timed warm calls
+        X, U, data = pmpc_tpu.solve(f_fx_fu, Q, R, x0, max_it=6, res_tol=1e-7,
+                                    verbose=False, **kw)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            X, U, data = pmpc_tpu.solve(f_fx_fu, Q, R, x0, max_it=6,
+                                        res_tol=1e-7, verbose=False, **kw)
+        dt = (time.perf_counter() - t0) / reps
+        return dict(config=tag, solves_per_s=round(1.0 / dt, 2),
+                    ms_per_solve=round(1e3 * dt, 1)), X, U, data
+
+    # 1) CVaR k-worst-particle consensus objective. Full consensus (Nc=N):
+    # with free per-particle controls the k-worst epigraph leaves non-worst
+    # particles' controls gradient-free (same property as the reference's
+    # formulation, main.jl:221-232) and the SCP wanders.
+    line, X, U, data = run("cvar_k4_M16_N20",
+                           solver_settings=dict(k=4))
+    line["consensus_spread"] = float(np.ptp(U, axis=0).max())
+    print(json.dumps(line), flush=True)
+
+    # 2) user extras: per-stage SOC ||u|| <= 0.9 via extra_cstrs_fns
+    umax = 0.9
+    line, X, U, data = run("extras_soc_M16_N20",
+                           solver_settings=dict(Nc=Nc),
+                           extra_cstrs_fns=_u_norm_soc_fns(umax, Nc))
+    line["u_norm_max"] = float(np.linalg.norm(U, axis=-1).max())
+    line["consensus_spread"] = float(np.ptp(U[:, :Nc, :], axis=0).max())
+    print(json.dumps(line), flush=True)
+    print("done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

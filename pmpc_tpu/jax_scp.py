@@ -131,9 +131,9 @@ def build_scp_solver(
     """
     Nc = Nc if Nc >= 0 else N
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
-    if method not in ("condensed", "riccati"):
+    if method not in ("condensed", "riccati", "priccati"):
         raise ValueError(f"unknown method {method!r}")
-    if method == "riccati" and (has_x_bounds or has_u_soc):
+    if method in ("riccati", "priccati") and (has_x_bounds or has_u_soc):
         raise NotImplementedError(
             "method='riccati' serves the eq-only and u-box paths (O(N) "
             "stage-structured IPM); state boxes and SOC cones need the "
@@ -162,9 +162,10 @@ def build_scp_solver(
             if cu is not None:
                 U_ref = U_ref - jnp.linalg.solve(data.R, cu[..., None])[..., 0]
 
-        if method == "riccati":
+        if method in ("riccati", "priccati"):
             # O(N) stage-structured consensus solve: no O(N^2) Ft, the
-            # consensus Schur complement is a per-particle theta-quadratic sum
+            # consensus Schur complement is a per-particle theta-quadratic sum.
+            # 'priccati' runs the sweeps as associative scans (O(log N) depth).
             if has_bounds:
                 from .solvers.riccati_ipm import riccati_ipm_solve_scp
 
@@ -189,9 +190,14 @@ def build_scp_solver(
                 else:
                     warm_new = warm
             else:
-                from .solvers.riccati import riccati_consensus_solve
+                if method == "priccati":
+                    from .solvers.priccati import (
+                        priccati_consensus_solve as _consensus)
+                else:
+                    from .solvers.riccati import (
+                        riccati_consensus_solve as _consensus)
 
-                X, U = riccati_consensus_solve(
+                X, U = _consensus(
                     data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
                     X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
                 warm_new = warm
@@ -292,7 +298,7 @@ def build_scp_solver(
             nf = (N - Nc) * udim
             uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
             uf_w = data.U_prev.reshape(M, -1)[:, nc:]
-            if method == "riccati":
+            if method in ("riccati", "priccati"):
                 # stage-structured IPM layout: padded theta, no state rows
                 nct = max(nc, 1)
                 th_w = jnp.zeros((nct,), dt).at[:nc].set(uc_w)

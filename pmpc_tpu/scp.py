@@ -379,6 +379,19 @@ def scp_solve(
         )
         data["t_aff_solve"].append(time.time() - t0)
         st.solver_state = (solver_data or {}).get("solver_state", None)
+
+        # failure contract (pre-NaN): a subproblem solver that reports a hard
+        # failure (e.g. a cone IPM stalled far from its central path) returned
+        # garbage, not an approximation — reject it instead of re-linearizing
+        # around it (mirror of the fused path's reject contract)
+        if solver_data and solver_data.get("ipm_failed"):
+            data["rejected_subproblem"] = True
+            if st.it == 0:
+                if verbose:
+                    print_fn("Solver failed...")
+                return None, None, None
+            break  # keep the last accepted iterate
+
         X_new = np.asarray(X_new).reshape((M, N + 1, xdim))
         U_new = np.asarray(U_new).reshape((M, N, udim))
 

@@ -179,7 +179,9 @@ def cvar_solve(
     settings = settings or {}
     dtype = np.dtype(np.asarray(cqp.qf).dtype)
     eps = float(settings.get("cost_anchor_eps", COST_ANCHOR_EPS))
-    iters = int(settings.get("ipm_iters", 50))
+    # generous f64 cap: the IPM while_loop exits early on convergence, and
+    # cold solves to 1e-8 can need ~70 iterations (warm ones stop at ~12)
+    iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 50))
     # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -3))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-6))
@@ -194,11 +196,17 @@ def cvar_solve(
         j(u_l), j(u_u), j(x_l), j(x_u),
         N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp, kappa=kappa,
         has_ubox=has_ubox, has_xbox=has_xbox)
+    mu = float(stats["mu"])
+    converged = bool(stats["converged"])
     data = dict(
         solver_state=settings.get("solver_state"),
-        ipm_mu=float(stats["mu"]),
+        ipm_mu=mu,
         ipm_iters=int(stats["iters"]),
-        ipm_converged=bool(stats["converged"]),
+        ipm_converged=converged,
+        # far-from-converged (or non-finite) epigraph solves are garbage, not
+        # approximations: flag so the SCP loop rejects the subproblem
+        ipm_failed=bool((not converged)
+                        and (not np.isfinite(mu) or mu > 10.0 ** (tol_exp + 2))),
         ts=np.asarray(ts),
     )
     return np.asarray(X), np.asarray(U), data

@@ -22,6 +22,37 @@ import jax.numpy as jnp
 from .reduced import assemble_condensed, solve_eq, recover_XU
 
 
+def _cone_precision_scope(dtype, device="auto"):
+    """Precision/placement scope for the dense cone paths (CVaR / extras).
+
+    These run in f64 by default (reference parity: its cone solvers are f64
+    CPU — ECOS/OSQP/Mosek), which needs ``enable_x64`` when the session
+    default is 32-bit. On accelerators without native f64 (TPU emulates it
+    ~10x slow) the program is additionally pinned to the in-process XLA CPU
+    backend — still jit-compiled batched assembly + IPM, just on the host,
+    exactly where the reference runs these solves. ``device='auto'`` pins to
+    CPU iff the default backend is not already CPU; pass an explicit platform
+    name (settings["cone_device"]) to override."""
+    import contextlib
+
+    import jax
+
+    stack = contextlib.ExitStack()
+    if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        stack.enter_context(jax.enable_x64(True))
+    try:
+        plat = jax.default_backend()
+    except Exception:
+        plat = "cpu"
+    want = "cpu" if device == "auto" else str(device)
+    if np.dtype(dtype) == np.float64 and plat != want:
+        try:
+            stack.enter_context(jax.default_device(jax.devices(want)[0]))
+        except RuntimeError:
+            pass  # no such platform: stay on the default backend
+    return stack
+
+
 def _coerce_rollout(X, U):
     """Consensus controls are shared variables in our formulation and the
     condensed dynamics are satisfied by construction, so the reference's
@@ -86,61 +117,76 @@ def affine_solve_np(
             slew_reg, slew_reg0 = np.asarray(slew_reg) * wv, np.asarray(slew_reg0) * wv
             if bool(settings.get("weights_scale_slew_target", True)):
                 slew_um1 = np.asarray(slew_um1) * wv[:, None]
-        args16 = [jnp.asarray(a) for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
-                                           X_ref, U_ref, reg_x, reg_u,
-                                           slew_reg, slew_reg0, slew_um1)]
-        H_per, q_per, Ft, g = _jax.vmap(particle_H_q)(*args16)
-        udim = fu.shape[-1]
-        nc = Nc * udim
-        from .reduced import CondensedQP as _CQP
+        # the epigraph cone program squares conditioning (explicit condensed
+        # Hessians + their Cholesky factors), so it runs in f64 like the
+        # reference's CPU cone solvers; f32 stalls at mu ~ 1 at M,N beyond toy
+        # sizes. ``enable_x64`` scopes the 64-bit trace to this path only.
+        cdt = np.dtype(settings.get("cone_dtype", np.float64))
+        with _cone_precision_scope(cdt, settings.get("cone_device", "auto")):
+            args16 = [jnp.asarray(np.asarray(a), cdt)
+                      for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
+                                X_ref, U_ref, reg_x, reg_u,
+                                slew_reg, slew_reg0, slew_um1)]
+            H_per, q_per, Ft, g = _jax.vmap(particle_H_q)(*args16)
+            udim = fu.shape[-1]
+            nc = Nc * udim
+            from .reduced import CondensedQP as _CQP
 
-        cqp = _CQP(
-            Hcc=jnp.sum(H_per[:, :nc, :nc], axis=0),
-            Hcf=H_per[:, :nc, nc:], Hff=H_per[:, nc:, nc:],
-            qc=jnp.sum(q_per[:, :nc], axis=0), qf=q_per[:, nc:],
-            Ft=Ft, g=g, w_prev=jnp.asarray(U_prev).reshape(M, -1),
-        )
-        # per-particle z_i = [uc; uf_i] quadratics keep their own consensus block
-        H_zi = np.asarray(H_per)
-        q_zi = np.asarray(q_per)
-        c_per = particle_constants(np.asarray(g), X_prev, U_prev, Q, R,
-                                   X_ref, U_ref, reg_x, reg_u,
-                                   slew_reg0, slew_um1)
-        xdim = f.shape[-1]
-        X, U, data = cvar_solve(
-            H_zi, q_zi, c_per, cqp, N=N, udim=udim, xdim=xdim, k=int(k),
-            u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u, settings=settings,
-        )
+            cqp = _CQP(
+                Hcc=jnp.sum(H_per[:, :nc, :nc], axis=0),
+                Hcf=H_per[:, :nc, nc:], Hff=H_per[:, nc:, nc:],
+                qc=jnp.sum(q_per[:, :nc], axis=0), qf=q_per[:, nc:],
+                Ft=Ft, g=g,
+                w_prev=jnp.asarray(np.asarray(U_prev), cdt).reshape(M, -1),
+            )
+            # per-particle z_i = [uc; uf_i] quadratics keep their own consensus
+            # block
+            H_zi = np.asarray(H_per)
+            q_zi = np.asarray(q_per)
+            c_per = particle_constants(np.asarray(g), X_prev, U_prev, Q, R,
+                                       X_ref, U_ref, reg_x, reg_u,
+                                       slew_reg0, slew_um1)
+            xdim = f.shape[-1]
+            X, U, data = cvar_solve(
+                H_zi, q_zi, c_per, cqp, N=N, udim=udim, xdim=xdim, k=int(k),
+                u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u, settings=settings,
+            )
         return np.asarray(X), np.asarray(U), data
 
     Hf = settings.get("Hf", None)
     if extra_cstrs or Hf is not None:
         # arbitrary cones / cross-particle terminal cost couple variables
-        # across particles: dense cone path
+        # across particles: dense cone path — f64 like the CVaR branch above
+        # (same conditioning-squared argument; override via ``cone_dtype``)
         from .extras import cone_solve_with_extras, terminal_cross_cost
         from .reduced import assemble_condensed as _assemble
 
-        cqp = _assemble(
-            jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
-            jnp.asarray(X_prev), jnp.asarray(U_prev), jnp.asarray(Q), jnp.asarray(R),
-            jnp.asarray(X_ref), jnp.asarray(U_ref),
-            jnp.asarray(reg_x), jnp.asarray(reg_u),
-            jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
-            Nc=Nc, weights=weights,
-            scale_slew_target=bool(settings.get("weights_scale_slew_target", True)),
-        )
-        xdim = f.shape[-1]
-        udim = fu.shape[-1]
-        H_extra = q_extra = None
-        if Hf is not None:
-            H_extra, q_extra = terminal_cross_cost(
-                cqp, N=N, xdim=xdim, Hf=Hf, hf=settings.get("hf", None))
-        X, U, data = cone_solve_with_extras(
-            cqp, N=N, udim=udim, xdim=xdim,
-            u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
-            extra_cstrs=extra_cstrs or [], settings=settings,
-            H_extra=H_extra, q_extra=q_extra,
-        )
+        cdt = np.dtype(settings.get("cone_dtype", np.float64))
+        with _cone_precision_scope(cdt, settings.get("cone_device", "auto")):
+            cast = lambda a: jnp.asarray(np.asarray(a), cdt)
+            cqp = _assemble(
+                cast(x0), cast(f), cast(fx), cast(fu),
+                cast(X_prev), cast(U_prev), cast(Q), cast(R),
+                cast(X_ref), cast(U_ref),
+                cast(reg_x), cast(reg_u),
+                cast(slew_reg), cast(slew_reg0), cast(slew_um1),
+                Nc=Nc,
+                weights=cast(weights) if weights is not None else None,
+                scale_slew_target=bool(
+                    settings.get("weights_scale_slew_target", True)),
+            )
+            xdim = f.shape[-1]
+            udim = fu.shape[-1]
+            H_extra = q_extra = None
+            if Hf is not None:
+                H_extra, q_extra = terminal_cross_cost(
+                    cqp, N=N, xdim=xdim, Hf=Hf, hf=settings.get("hf", None))
+            X, U, data = cone_solve_with_extras(
+                cqp, N=N, udim=udim, xdim=xdim,
+                u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
+                extra_cstrs=extra_cstrs or [], settings=settings,
+                H_extra=H_extra, q_extra=q_extra,
+            )
         return np.asarray(X), np.asarray(U), data
 
     base_args = (

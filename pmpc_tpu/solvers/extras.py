@@ -351,17 +351,26 @@ def cone_solve_with_extras(
                     ipm_converged=True, exp_host_fallback=True, aux=v[nz:])
         return np.asarray(X), np.asarray(U), data
 
-    iters = int(settings.get("ipm_iters", 35))
+    # cold f64 solves to 1e-8 need ~70 iterations; the IPM while_loop exits
+    # early on convergence (warm-started SCP iterations stop at ~12) so a
+    # generous cap costs nothing when the solve is easy
+    iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 35))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-7))
     X, U, aux, stats = _solve_extras_device(
         cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
         iters=iters, tol_exp=tol_exp, kappa=kappa)
+    mu = float(stats["mu"])
+    converged = bool(stats["converged"])
     data = dict(
         solver_state=settings.get("solver_state"),
-        ipm_mu=float(stats["mu"]),
+        ipm_mu=mu,
         ipm_iters=int(stats["iters"]),
-        ipm_converged=bool(stats["converged"]),
+        ipm_converged=converged,
+        # far-from-converged cone solves are garbage, not approximations:
+        # flag so the SCP loop rejects the subproblem
+        ipm_failed=bool((not converged)
+                        and (not np.isfinite(mu) or mu > 10.0 ** (tol_exp + 2))),
         aux=np.asarray(aux),
     )
     return np.asarray(X), np.asarray(U), data
