@@ -10,7 +10,11 @@ blocks are tiny and dense-batched is the speed-of-light layout.
 from __future__ import annotations
 
 import os
+from functools import partial
 
+import numpy as np
+
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -25,6 +29,72 @@ def use_inverse_factor(n: int) -> bool:
     if os.environ.get("PMPC_TPU_BLOCK_CHOL", "1") != "1":
         return False
     return 0 < n <= 160
+
+
+def _use_host_inverse_factor(n: int) -> bool:
+    """Static rule: on the CPU backend, large factorizations go to the host
+    BLAS via pure_callback. jaxlib's ``lapack_potrf_ffi`` on this class of
+    machine runs UNBLOCKED reference code (~0.1 GFLOP/s: 370 ms for a 490^2
+    f64 factor that numpy/OpenBLAS does in 9 ms), and the XLA-traced blocked
+    factor pays 40-150 s of compile time at this size. The callback returns
+    the INVERSE factor so applies stay XLA matmuls (same representation as
+    `inv_cholesky`)."""
+    if os.environ.get("PMPC_TPU_HOST_CHOL", "1") != "1":
+        return False
+    try:
+        on_cpu = jax.default_backend() == "cpu"
+    except Exception:
+        on_cpu = True
+    return on_cpu and n > 160
+
+
+_BLAS_LIMIT = None
+
+
+def _blas_single_thread():
+    """Scoped single-thread BLAS for host callbacks: multithreaded OpenBLAS
+    spinning against XLA's own busy-waiting threadpool is a 10x slowdown
+    (measured 82 ms vs 8 ms for a 490^2 f64 factor inside pure_callback)."""
+    global _BLAS_LIMIT
+    try:
+        if _BLAS_LIMIT is None:
+            from threadpoolctl import ThreadpoolController
+
+            _BLAS_LIMIT = ThreadpoolController()
+        return _BLAS_LIMIT.limit(limits=1, user_api="blas")
+    except Exception:
+        import contextlib
+
+        return contextlib.nullcontext()
+
+
+def _host_inv_chol_np(A_u8, jitter: float, dtype: str):
+    """Host kernel: Minv = L^{-1} per batch element; NaN on a non-SPD block
+    (keeps the callers' breakdown-detection contract).
+
+    Operates on uint8 BITCASTS (trailing itemsize axis): ``jax.enable_x64``
+    is thread-local, and pure_callback buffers are canonicalized on an XLA
+    runtime thread that sees the global (x64-off) config — float64 operands
+    would be silently downcast. Bytes pass through untouched."""
+    import scipy.linalg as sla
+
+    dt = np.dtype(dtype)
+    A = np.ascontiguousarray(A_u8).view(dt)[..., 0]
+    n = A.shape[-1]
+    if jitter:
+        A = A + np.asarray(jitter, dt) * np.eye(n, dtype=dt)
+    flat = A.reshape((-1, n, n))
+    out = np.empty_like(flat)
+    eye = np.eye(n, dtype=dt)
+    with _blas_single_thread():
+        for i in range(flat.shape[0]):
+            try:
+                L = np.linalg.cholesky(flat[i])
+                out[i] = sla.solve_triangular(L, eye, lower=True,
+                                              check_finite=False)
+            except np.linalg.LinAlgError:
+                out[i] = np.nan
+    return np.ascontiguousarray(out.reshape(A.shape))[..., None].view(np.uint8)
 
 
 def _use_pallas_factor(A) -> bool:
@@ -62,13 +132,22 @@ def spd_factor(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
         return Minv.reshape(lead + (n, n))
     if use_inverse_factor(n):
         return inv_cholesky(A, jitter=jitter)
+    if _use_host_inverse_factor(n):
+        A_u8 = lax.bitcast_convert_type(A, jnp.uint8)
+        out_u8 = jax.pure_callback(
+            partial(_host_inv_chol_np, jitter=float(jitter),
+                    dtype=str(A.dtype)),
+            jax.ShapeDtypeStruct(A_u8.shape, jnp.uint8), A_u8,
+            vmap_method="expand_dims")
+        return lax.bitcast_convert_type(out_u8, A.dtype)
     return cholesky_factor(A, jitter=jitter)
 
 
 def spd_apply(F: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b given F = spd_factor(A)."""
     n = F.shape[-1]
-    if _use_pallas_factor(F) or use_inverse_factor(n):
+    if _use_pallas_factor(F) or use_inverse_factor(n) \
+            or _use_host_inverse_factor(n):
         return inv_chol_apply(F, b)
     return cholesky_solve(F, b)
 

@@ -367,6 +367,10 @@ def scp_solve(
         if extra_cstrs_fns is not None:
             settings["extra_cstrs"] = tuple(extra_cstrs_fns(st.X_prev, st.U_prev, ctx))
         settings["solver_state"] = st.solver_state
+        # previous-iteration residual: the cone/IPM backends derive an
+        # inexact-Newton forcing tolerance from it (same rule as the fused
+        # path's adaptive_tol) — early loose solves, tight near convergence
+        settings["scp_residual"] = st.max_res
 
         # 3. affine consensus solve
         t0 = time.time()

@@ -128,15 +128,47 @@ def cone_qp_solve(
     iters: int = 35,
     tol_exp: int = -8,
     kappa: float = 0.0,
+    tol_dynamic=None,
 ):
-    """Solve the cone QP; returns (v, s, z, stats)."""
+    """Solve the cone QP; returns (v, s, z, stats).
+
+    ``tol_dynamic`` is an optional TRACED scalar: the effective tolerance is
+    ``max(10^tol_exp, tol_dynamic)`` — inexact-Newton forcing without a
+    recompile per value."""
     dtype = prob.q.dtype
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
+    if tol_dynamic is not None:
+        tol = jnp.maximum(tol, jnp.asarray(tol_dynamic, dtype=dtype))
     nv = prob.q.shape[0]
     ml = prob.hl.shape[0]
     ncones, pmax = prob.hq.shape
+
+    if ml == 0 and ncones == 0:
+        # unconstrained QP: the Newton solution is exact, no IPM needed
+        v = spd_apply(spd_factor(prob.P, jitter=kappa), -prob.q)
+        zero = jnp.zeros((0,), dtype)
+        zeroq = jnp.zeros((0, pmax), dtype)
+        stats = dict(mu=jnp.asarray(0.0, dtype),
+                     iters=jnp.asarray(0, jnp.int32),
+                     converged=jnp.asarray(True))
+        return v, (zero, zeroq), (zero, zeroq), stats
+
+    # zero-sized arrays in a while_loop carry hang the axon remote compiler:
+    # pad an empty constraint family with one NEUTRAL dummy row (0'v <= 1 /
+    # a free SOC slack at e). The dummy's slack converges to (1, mu) like any
+    # inactive constraint and never touches K or the primal.
+    if ml == 0:
+        prob = prob._replace(Gl=jnp.zeros((1, nv), dtype),
+                             hl=jnp.ones((1,), dtype))
+        ml = 1
+    if ncones == 0:
+        pmax = max(pmax, 2)
+        prob = prob._replace(
+            Gq=jnp.zeros((1, pmax, nv), dtype),
+            hq=jnp.zeros((1, pmax), dtype).at[0, 0].set(1.0))
+        ncones = 1
+
     nu = ml + ncones  # cone degree for mu normalization
-    nu = max(nu, 1)
     tau = jnp.asarray(0.99 if dtype == jnp.float64 else 0.95, dtype=dtype)
 
     e_soc = jnp.zeros((ncones, pmax), dtype).at[:, 0].set(1.0)
@@ -156,7 +188,7 @@ def cone_qp_solve(
         # into the cone interiors (robust for LP-like objectives and large h)
         GtG = prob.Gl.T @ prob.Gl + jnp.einsum("cpv,cpw->vw", prob.Gq, prob.Gq)
         Gth = prob.Gl.T @ prob.hl + jnp.einsum("cpv,cp->v", prob.Gq, prob.hq)
-        v = cholesky_solve(cholesky_factor(prob.P + GtG, jitter=1e-8), -prob.q + Gth)
+        v = spd_apply(spd_factor(prob.P + GtG, jitter=1e-8), -prob.q + Gth)
         res_l = prob.hl - prob.Gl @ v  # = s_hat
         res_q = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, v)
         sl = _shift_nonneg(res_l)
@@ -167,7 +199,7 @@ def cone_qp_solve(
 
     v0, sl0, zl0, sq0, zq0 = init()
 
-    def body(k, carry):
+    def body(carry):
         v, sl, zl, sq, zq, done, ok, mu_prev, nsteps, badc = carry
         # residuals
         r_d = prob.P @ v + prob.q + prob.Gl.T @ zl + jnp.einsum("cpv,cp->v", prob.Gq, zq)
@@ -181,8 +213,12 @@ def cone_qp_solve(
         Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
         mu = (jnp.sum(sl * zl) + jnp.sum(sq * zq)) / nu
 
+        # G' W^-2 G as one (nv, c*p) @ (c*p, nv) gemm: the per-cone 3x3 scale
+        # is tiny, the big contraction should hit the matmul unit
+        WG = jnp.einsum("cpr,crw->cpw", Wq2inv, prob.Gq)
+        Gq2d = prob.Gq.reshape(ncones * pmax, nv)
         K = prob.P + (prob.Gl.T * wl2) @ prob.Gl \
-            + jnp.einsum("cpv,cpr,crw->vw", prob.Gq, Wq2inv, prob.Gq)
+            + Gq2d.T @ WG.reshape(ncones * pmax, nv)
         # breakdown retries boost the regularization (badc grows on bad steps)
         diag_scale = jnp.mean(jnp.diagonal(K)) + 1.0
         boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-4, dtype) * diag_scale
@@ -235,29 +271,54 @@ def cone_qp_solve(
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
 
         # corrector: d_c = lam o lam + (W^{-T} ds_aff) o (W dz_aff) - sigma mu e
-        dl_c = sl * zl + dsl_a * dzl_a - sigma * mu
         eta_a = jax.vmap(lambda Wi, x: Wi @ x)(Wqinv, dsq_a)  # W^{-T} ds_aff
         th_a = jax.vmap(lambda Wm, x: Wm @ x)(Wq, dzq_a)  # W dz_aff
-        dq_c = jax.vmap(_soc_prod)(lamq, lamq) \
-            + jax.vmap(_soc_prod)(eta_a, th_a) \
-            - sigma * mu * e_soc
-        dv, dsl, dzl, dsq, dzq = solve_dir(dl_c, dq_c)
+        so_l = dsl_a * dzl_a  # second-order complementarity terms
+        so_q = jax.vmap(_soc_prod)(eta_a, th_a)
+        lam2 = jax.vmap(_soc_prod)(lamq, lamq)
+        dv, dsl, dzl, dsq, dzq = solve_dir(
+            sl * zl + so_l - sigma * mu, lam2 + so_q - sigma * mu * e_soc)
         ap, ad = step_len(sl, dsl, zl, dzl, sq, dsq, zq, dzq)
         a = jnp.minimum(ap, ad)
 
-        # recovery: if the corrector step collapses (boundary collision from
-        # the second-order term), fall back to a plain centering direction
-        # with sigma = 0.8 — reuses the factorization, restores progress
-        dl_safe = sl * zl - 0.8 * mu
-        dq_safe = jax.vmap(_soc_prod)(lamq, lamq) - 0.8 * mu * e_soc
-        dv2, dsl2, dzl2, dsq2, dzq2 = solve_dir(dl_safe, dq_safe)
+        # adaptive corrector damping: the FULL Mehrotra correction can
+        # overshoot SOC walls (corrector step stuck at ~0.2 with a_aff ~ 0.6
+        # -> linear tail), while DAMPING the second-order term by a_aff^2
+        # stalls LP-like programs whose a_aff is tiny (the full correction is
+        # what cuts through). Compute both (the extra back-substitution
+        # reuses the factorization and costs ~1/10 of the K build; lax.cond
+        # here is a 9x PESSIMIZATION on XLA:CPU — the captured operands stop
+        # the while-body fusing) and keep the larger step whenever the full
+        # corrector collapses vs the affine step.
+        damp = a_a * a_a
+        dv2, dsl2, dzl2, dsq2, dzq2 = solve_dir(
+            sl * zl + damp * so_l - sigma * mu,
+            lam2 + damp * so_q - sigma * mu * e_soc)
         ap2, ad2 = step_len(sl, dsl2, zl, dzl2, sq, dsq2, zq, dzq2)
         a2 = jnp.minimum(ap2, ad2)
+        use2 = (a < 0.5 * a_a) & (a2 > a)
+        pick2 = lambda x_, y_: jnp.where(use2, y_, x_)
+        dv, dsl, dzl, dsq, dzq = (pick2(dv, dv2), pick2(dsl, dsl2),
+                                  pick2(dzl, dzl2), pick2(dsq, dsq2),
+                                  pick2(dzq, dzq2))
+        a = pick2(a, a2)
+
+        # recovery: if the corrector step still collapses (boundary collision
+        # from the second-order term), fall back to a plain centering
+        # direction with sigma = 0.8 — reuses the factorization, restores
+        # progress (computed unconditionally: lax.cond would stop the
+        # while-body fusing, see above)
+        dl_safe = sl * zl - 0.8 * mu
+        dq_safe = lam2 - 0.8 * mu * e_soc
+        dv3, dsl3, dzl3, dsq3, dzq3 = solve_dir(dl_safe, dq_safe)
+        ap3, ad3 = step_len(sl, dsl3, zl, dzl3, sq, dsq3, zq, dzq3)
+        a3 = jnp.minimum(ap3, ad3)
         use_safe = a < 0.05
         pick = lambda x_, y_: jnp.where(use_safe, y_, x_)
-        dv, dsl, dzl, dsq, dzq = (pick(dv, dv2), pick(dsl, dsl2), pick(dzl, dzl2),
-                                  pick(dsq, dsq2), pick(dzq, dzq2))
-        a = pick(a, a2)
+        dv, dsl, dzl, dsq, dzq = (pick(dv, dv3), pick(dsl, dsl3),
+                                  pick(dzl, dzl3), pick(dsq, dsq3),
+                                  pick(dzq, dzq3))
+        a = pick(a, a3)
 
         v_n = v + a * dv
         sl_n, zl_n = sl + a * dsl, zl + a * dzl
@@ -296,9 +357,12 @@ def cone_qp_solve(
                 done | now_done | give_up, ok | now_done, mu_o, steps_o, badc_o)
 
     carry0 = (v0, sl0, zl0, sq0, zq0,
-              jnp.asarray(ml + ncones == 0), jnp.asarray(ml + ncones == 0),
+              jnp.asarray(False), jnp.asarray(False),
               jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
               jnp.asarray(0, jnp.int32))
-    v, sl, zl, sq, zq, done, ok, mu, nsteps, _ = lax.fori_loop(0, iters, body, carry0)
+    # while_loop exits as soon as `done` latches (converged or gave up):
+    # a generous `iters` cap costs nothing on easy/warm solves
+    v, sl, zl, sq, zq, done, ok, mu, nsteps, _ = lax.while_loop(
+        lambda c: (~c[5]) & (c[8] < iters), body, carry0)
     stats = dict(mu=mu, iters=nsteps, converged=ok)
     return v, (sl, sq), (zl, zq), stats

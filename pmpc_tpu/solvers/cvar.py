@@ -66,7 +66,7 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
                  u_l, u_u, x_l, x_u,
                  N: int, udim: int, xdim: int,
                  iters: int, tol_exp: int, kappa: float,
-                 has_ubox: bool, has_xbox: bool):
+                 has_ubox: bool, has_xbox: bool, tol_dynamic=None):
     """Assemble + solve the CVaR-k epigraph cone program, all on device."""
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     nz = nc + M * nf
@@ -153,7 +153,7 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
 
     prob = ConeLP(P=P, q=c_obj, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
     v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
-                                   kappa=kappa)
+                                   kappa=kappa, tol_dynamic=tol_dynamic)
 
     w = v[:nz]
     U = jnp.concatenate([
@@ -179,12 +179,22 @@ def cvar_solve(
     settings = settings or {}
     dtype = np.dtype(np.asarray(cqp.qf).dtype)
     eps = float(settings.get("cost_anchor_eps", COST_ANCHOR_EPS))
-    # generous f64 cap: the IPM while_loop exits early on convergence, and
-    # cold solves to 1e-8 can need ~70 iterations (warm ones stop at ~12)
+    # generous f64 cap: the IPM while_loop exits early on convergence
+    # (cold solves to 1e-8 need ~25 its with the damped corrector)
     iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 50))
     # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -3))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-6))
+
+    # inexact-Newton forcing from the SCP residual (same rule as the fused
+    # path's adaptive_tol): early SCP iterations take loose subproblem solves
+    tol_eff = 10.0 ** tol_exp
+    tol_dyn = None
+    r = settings.get("scp_residual", None)
+    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
+            and np.isfinite(r):
+        tol_dyn = float(np.clip(1e-3 * r * r, 0.0, 1e-3))
+        tol_eff = max(tol_eff, tol_dyn)
 
     has_ubox = u_l is not None and u_u is not None
     has_xbox = x_l is not None and x_u is not None
@@ -195,7 +205,8 @@ def cvar_solve(
         jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
         j(u_l), j(u_u), j(x_l), j(x_u),
         N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp, kappa=kappa,
-        has_ubox=has_ubox, has_xbox=has_xbox)
+        has_ubox=has_ubox, has_xbox=has_xbox,
+        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
     mu = float(stats["mu"])
     converged = bool(stats["converged"])
     data = dict(
@@ -206,7 +217,7 @@ def cvar_solve(
         # far-from-converged (or non-finite) epigraph solves are garbage, not
         # approximations: flag so the SCP loop rejects the subproblem
         ipm_failed=bool((not converged)
-                        and (not np.isfinite(mu) or mu > 10.0 ** (tol_exp + 2))),
+                        and (not np.isfinite(mu) or mu > 1e2 * tol_eff)),
         ts=np.asarray(ts),
     )
     return np.asarray(X), np.asarray(U), data

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .reduced import assemble_condensed, solve_eq, recover_XU
@@ -51,6 +52,16 @@ def _cone_precision_scope(dtype, device="auto"):
         except RuntimeError:
             pass  # no such platform: stay on the default backend
     return stack
+
+
+@jax.jit
+def _batched_particle_H_q(*args):
+    """jitted vmap of the per-particle condensed builder — the bare vmap
+    dispatches the condense scan op-by-op through the batching interpreter
+    (~1s/call of pure interpreter overhead at M=16, N=20)."""
+    from .reduced import particle_H_q
+
+    return jax.vmap(particle_H_q)(*args)
 
 
 def _coerce_rollout(X, U):
@@ -102,8 +113,6 @@ def affine_solve_np(
             # change semantics, so refuse the combination until implemented
             raise NotImplementedError("k (CVaR) combined with smooth_cstr is not supported yet")
         from .cvar import cvar_solve, particle_constants
-        from .reduced import particle_H_q
-        import jax as _jax
 
         if weights is not None:
             # particle weights scale each particle's cost terms before the
@@ -127,7 +136,7 @@ def affine_solve_np(
                       for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
                                 X_ref, U_ref, reg_x, reg_u,
                                 slew_reg, slew_reg0, slew_um1)]
-            H_per, q_per, Ft, g = _jax.vmap(particle_H_q)(*args16)
+            H_per, q_per, Ft, g = _batched_particle_H_q(*args16)
             udim = fu.shape[-1]
             nc = Nc * udim
             from .reduced import CondensedQP as _CQP

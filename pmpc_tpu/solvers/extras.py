@@ -168,7 +168,7 @@ def _build_program(cqp: CondensedQP, dims, sig, ubounds, xbounds, ecs,
         Gl_rows += [Gx, -Gx]
         hl_rows += [xu - xoff, -(xl - xoff)]
 
-    soc_blocks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
+    soc_blocks: List[Tuple[Tuple[int, ...], jnp.ndarray, jnp.ndarray]] = []
     exp_blocks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     aux_off = nz
     for (l, qsizes, e), (G_left, G_right, h, c_left, c_right) in zip(sig, ecs):
@@ -199,10 +199,13 @@ def _build_program(cqp: CondensedQP, dims, sig, ubounds, xbounds, ecs,
         if l:
             Gl_rows.append(G_full[:l])
             hl_rows.append(h_adj[:l])
-        r = l
-        for sz in qsizes:
-            soc_blocks.append((G_full[r:r + sz], h_adj[r:r + sz]))
-            r += sz
+        nq = sum(qsizes)
+        if nq:
+            # one contiguous slice per CONSTRAINT; the per-cone split happens
+            # later as a single static gather (not one slice per cone — at
+            # hundreds of cones the unrolled slicing dominated the program)
+            soc_blocks.append((qsizes, G_full[l:l + nq], h_adj[l:l + nq]))
+        r = l + nq
         # exp cones: e TRIPLES of rows after the lin/SOC sections, ECOS
         # convention (cone_utils.jl:99-170, make_logbarrier_constraint):
         # s = h - Gv with exp(s_x / s_z) <= s_y / s_z, s_z > 0
@@ -218,15 +221,25 @@ def _build_program(cqp: CondensedQP, dims, sig, ubounds, xbounds, ecs,
 
 
 def _pad_socs(soc_blocks, nv, dtype):
-    """Stack variable-size SOC blocks into padded (ncones, pmax, nv) arrays."""
-    ncones = len(soc_blocks)
-    pmax = max((int(g.shape[0]) for g, _ in soc_blocks), default=1)
-    Gq = jnp.zeros((ncones, pmax, nv), dtype)
-    hq = jnp.zeros((ncones, pmax), dtype)
-    for i, (g, hh) in enumerate(soc_blocks):
-        p = int(g.shape[0])
-        Gq = Gq.at[i, :p].set(g)
-        hq = hq.at[i, :p].set(hh)
+    """Stack SOC cones into padded (ncones, pmax, nv) arrays with ONE static
+    gather. ``soc_blocks`` is [(qsizes, G_rows, h_rows), ...] per constraint;
+    all cone sizes are static, so the padded row-index table is plain numpy
+    (padding indexes a sentinel zero row)."""
+    sizes = [int(s) for (qsizes, _, _) in soc_blocks for s in qsizes]
+    ncones = len(sizes)
+    if not ncones:
+        return jnp.zeros((0, 1, nv), dtype), jnp.zeros((0, 1), dtype)
+    pmax = max(sizes)
+    G_all = jnp.concatenate([g for (_, g, _) in soc_blocks], axis=0)
+    h_all = jnp.concatenate([h for (_, _, h) in soc_blocks])
+    n_rows = int(G_all.shape[0])
+    idx = np.full((ncones, pmax), n_rows, dtype=np.int32)  # sentinel = pad
+    r = 0
+    for i, sz in enumerate(sizes):
+        idx[i, :sz] = np.arange(r, r + sz)
+        r += sz
+    Gq = jnp.concatenate([G_all, jnp.zeros((1, nv), dtype)], axis=0)[idx]
+    hq = jnp.concatenate([h_all, jnp.zeros((1,), dtype)])[idx]
     return Gq, hq
 
 
@@ -242,7 +255,7 @@ def _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim):
 @partial(jax.jit, static_argnames=("dims", "sig", "iters", "tol_exp", "kappa"))
 def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
                          H_extra, q_extra, iters: int, tol_exp: int,
-                         kappa: float):
+                         kappa: float, tol_dynamic=None):
     """One compiled program per constraint signature: assemble the dense cone
     QP and solve it with the NT-scaled cone IPM, all on device."""
     N, udim, xdim = dims
@@ -255,7 +268,7 @@ def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
     Gq, hq = _pad_socs(soc_blocks, nv, dtype)
     prob = ConeLP(P=P, q=q_ext, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
     v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
-                                   kappa=kappa)
+                                   kappa=kappa, tol_dynamic=tol_dynamic)
     nz = nc + M * nf
     X, U = _recover_XU(v[:nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
     return X, U, v[nz:], stats
@@ -276,14 +289,18 @@ def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
     if Gl.shape[0]:
         cons.append(sopt.LinearConstraint(np.asarray(Gl, float), -np.inf,
                                           np.asarray(hl, float)))
-    for G, h in soc_blocks:
-        G, h = np.asarray(G, float), np.asarray(h, float)
+    for qsizes, Gc, hc in soc_blocks:
+        Gc, hc = np.asarray(Gc, float), np.asarray(hc, float)
+        r = 0
+        for sz in qsizes:
+            G, h = Gc[r:r + sz], hc[r:r + sz]
+            r += sz
 
-        def soc_fun(v, G=G, h=h):
-            s = h - G @ v
-            return s[0] - np.linalg.norm(s[1:])
+            def soc_fun(v, G=G, h=h):
+                s = h - G @ v
+                return s[0] - np.linalg.norm(s[1:])
 
-        cons.append(sopt.NonlinearConstraint(soc_fun, 0.0, np.inf))
+            cons.append(sopt.NonlinearConstraint(soc_fun, 0.0, np.inf))
     eps = 1e-12
     for G, h in exp_blocks:
         G, h = np.asarray(G, float), np.asarray(h, float)
@@ -351,15 +368,24 @@ def cone_solve_with_extras(
                     ipm_converged=True, exp_host_fallback=True, aux=v[nz:])
         return np.asarray(X), np.asarray(U), data
 
-    # cold f64 solves to 1e-8 need ~70 iterations; the IPM while_loop exits
-    # early on convergence (warm-started SCP iterations stop at ~12) so a
-    # generous cap costs nothing when the solve is easy
+    # the IPM while_loop exits early on convergence, so a generous cap costs
+    # nothing on easy/warm solves (cold f64 solves to 1e-8 need ~25 its)
     iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 35))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
     kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-7))
+    # inexact-Newton forcing from the SCP residual (same rule as the fused
+    # path's adaptive_tol): early SCP iterations take loose subproblem solves
+    tol_eff = 10.0 ** tol_exp
+    tol_dyn = None
+    r = settings.get("scp_residual", None)
+    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
+            and np.isfinite(r):
+        tol_dyn = float(np.clip(1e-3 * r * r, 0.0, 1e-3))
+        tol_eff = max(tol_eff, tol_dyn)
     X, U, aux, stats = _solve_extras_device(
         cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
-        iters=iters, tol_exp=tol_exp, kappa=kappa)
+        iters=iters, tol_exp=tol_exp, kappa=kappa,
+        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
     mu = float(stats["mu"])
     converged = bool(stats["converged"])
     data = dict(
@@ -370,7 +396,7 @@ def cone_solve_with_extras(
         # far-from-converged cone solves are garbage, not approximations:
         # flag so the SCP loop rejects the subproblem
         ipm_failed=bool((not converged)
-                        and (not np.isfinite(mu) or mu > 10.0 ** (tol_exp + 2))),
+                        and (not np.isfinite(mu) or mu > 1e2 * tol_eff)),
         aux=np.asarray(aux),
     )
     return np.asarray(X), np.asarray(U), data
