@@ -1,0 +1,120 @@
+"""Property fuzz: random problems x random feature combos vs the f64 oracle.
+
+Sweeps the subtle interactions of the consensus layout (`lqp_utils.jl:26-103`
+is the reference's hairiest indexing): consensus split Nc, per-particle
+weights, slew coupling + u0 anchor, box bounds on controls/states — through
+`affine_solve_np` (the host dispatch) and checks the returned controls against
+the dense-KKT / trust-constr oracle on the SAME canonical QP.
+"""
+
+import numpy as np
+import pytest
+
+from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+import oracle
+
+
+def _features(rng):
+    """Random feature combo for one fuzz case."""
+    return dict(
+        use_weights=bool(rng.integers(2)),
+        use_slew=bool(rng.integers(2)),
+        use_slew0=bool(rng.integers(2)),
+        bounds=rng.choice(["none", "u", "x", "ux"]),
+    )
+
+
+def _run_case(seed):
+    rng = np.random.default_rng(seed)
+    M = int(rng.integers(1, 4))
+    N = int(rng.integers(3, 8))
+    xdim = int(rng.integers(2, 5))
+    udim = int(rng.integers(1, 4))
+    Nc = int(rng.integers(0, N + 1))
+    feat = _features(rng)
+
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    reg_x = np.full(M, 1.0)
+    reg_u = np.full(M, 0.1)
+    slew_reg = np.full(M, 0.5 if feat["use_slew"] else 0.0)
+    slew_reg0 = np.full(M, 0.7 if feat["use_slew0"] else 0.0)
+    slew_um1 = (0.3 * rng.normal(size=(M, udim))
+                if feat["use_slew0"] else np.zeros((M, udim)))
+    weights = np.abs(rng.normal(size=M)) + 0.2 if feat["use_weights"] else None
+
+    u_l = u_u = x_l = x_u = None
+    if "u" in feat["bounds"]:
+        c = 0.2 * rng.normal(size=(M, N, udim))
+        u_l, u_u = c - 0.6, c + 0.6
+    if "x" in feat["bounds"]:
+        # state bounds around a rollout that RESPECTS the u box and the
+        # consensus split — random bounds around X_prev easily make the
+        # joint u+x problem infeasible (the IPM then rightly reports
+        # ipm_failed, but there is nothing to compare against the oracle)
+        U_feas = (c.copy() if u_l is not None
+                  else 0.2 * rng.normal(size=(M, N, udim)))
+        U_feas[:, :Nc, :] = U_feas[:1, :Nc, :]  # consensus block shared
+        X_feas = np.zeros((M, N, xdim))
+        xc = None
+        for j in range(N):
+            du = U_feas[:, j] - p["U_prev"][:, j]
+            step = p["f"][:, j] + np.einsum("mij,mj->mi", p["fu"][:, j], du)
+            if j > 0:
+                dx = xc - p["X_prev"][:, j - 1]
+                step = step + np.einsum("mij,mj->mi", p["fx"][:, j], dx)
+            xc = step
+            X_feas[:, j] = xc
+        x_l = np.minimum(X_feas, p["X_prev"]) - 2.0
+        x_u = np.maximum(X_feas, p["X_prev"]) + 2.0
+
+    settings = dict(Nc=Nc)
+    if weights is not None:
+        settings["weights"] = weights
+    X, U, data = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=reg_x, reg_u=reg_u,
+        slew_reg=slew_reg, slew_reg0=slew_reg0, slew_um1=slew_um1,
+        u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
+        Nc=Nc, settings=settings,
+    )
+    assert np.isfinite(U).all(), (seed, feat)
+
+    # oracle on the same canonical QP (weights scale each particle's cost
+    # terms before assembly, reference main.jl:96-112)
+    if weights is not None:
+        w = weights / np.sum(weights)
+        Qw = p["Q"] * w[:, None, None, None]
+        Rw = p["R"] * w[:, None, None, None]
+        reg_x_o, reg_u_o = reg_x * w, reg_u * w
+        slew_o, slew0_o = slew_reg * w, slew_reg0 * w
+        slew_um1_o = slew_um1 * w[:, None]
+    else:
+        Qw, Rw = p["Q"], p["R"]
+        reg_x_o, reg_u_o, slew_o, slew0_o = reg_x, reg_u, slew_reg, slew_reg0
+        slew_um1_o = slew_um1
+    P, q = oracle.build_Pq(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        Qw, Rw, p["X_ref"], p["U_ref"],
+        reg_x_o, reg_u_o, slew_o, slew0_o, slew_um1_o, Nc)
+    A, b = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"],
+                           p["X_prev"], p["U_prev"], Nc)
+    if feat["bounds"] == "none":
+        z = oracle.solve_eq_kkt(P, q, A, b)
+        tol = 2e-4
+    else:
+        lo, hi = oracle.bounds_vectors(x_l, x_u, u_l, u_u, N, xdim, udim, M, Nc)
+        z = oracle.solve_box_qp(P, q, A, b, lo, hi, tol=1e-11)
+        tol = 2e-3  # trust-constr active-set accuracy
+    _, U_o = oracle.split_z(z, N, xdim, udim, M, Nc)
+    err = np.max(np.abs(U - U_o))
+    assert err < tol, (seed, feat, M, N, xdim, udim, Nc, err)
+    # consensus contract: shared first-Nc controls identical across particles
+    if M > 1 and Nc > 0:
+        assert np.ptp(U[:, :Nc, :], axis=0).max() < 1e-5, (seed, feat)
+
+
+@pytest.mark.parametrize("seed", range(101, 115))
+def test_fuzz_consensus_qp_routes(seed):
+    _run_case(seed)
