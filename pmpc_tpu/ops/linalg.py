@@ -94,7 +94,10 @@ def _host_inv_chol_np(A_u8, jitter: float, dtype: str):
                                               check_finite=False)
             except np.linalg.LinAlgError:
                 out[i] = np.nan
-    return np.ascontiguousarray(out.reshape(A.shape))[..., None].view(np.uint8)
+    # return an OWNING contiguous uint8 array, not a view: the callback
+    # bridge may capture the buffer pointer without holding the view's base
+    return np.ascontiguousarray(out.reshape(A.shape))[..., None] \
+        .view(np.uint8).copy()
 
 
 def _use_pallas_factor(A) -> bool:

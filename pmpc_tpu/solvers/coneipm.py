@@ -129,12 +129,20 @@ def cone_qp_solve(
     tol_exp: int = -8,
     kappa: float = 0.0,
     tol_dynamic=None,
+    warm=None,
 ):
     """Solve the cone QP; returns (v, s, z, stats).
 
     ``tol_dynamic`` is an optional TRACED scalar: the effective tolerance is
     ``max(10^tol_exp, tol_dynamic)`` — inexact-Newton forcing without a
-    recompile per value."""
+    recompile per value.
+
+    ``warm`` is an optional (v, sl, zl, sq, zq) tuple from a previous solve
+    of the same signature (e.g. the last SCP iteration's subproblem): slacks
+    are recomputed from the warm PRIMAL against the new constraints (primal
+    residual starts ~0) and nudged into the cone interiors; duals carry
+    over. Shapes must match the PADDED problem, i.e. exactly what a prior
+    call returned."""
     dtype = prob.q.dtype
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
     if tol_dynamic is not None:
@@ -197,7 +205,24 @@ def cone_qp_solve(
         zq = _shift_soc(-res_q) if ncones else res_q
         return v, sl, zl, sq, zq
 
-    v0, sl0, zl0, sq0, zq0 = init()
+    def init_warm(w):
+        vw, slw, zlw, sqw, zqw = w
+        vw = jnp.asarray(vw, dtype)
+        delta = jnp.asarray(1e-2, dtype)
+        # slacks from the warm primal against the NEW h (r_p starts ~0
+        # where the warm point is still feasible); small interior margin
+        res_l = prob.hl - prob.Gl @ vw
+        sl = jnp.maximum(res_l, delta)
+        zl = jnp.maximum(jnp.asarray(zlw, dtype), delta)
+        res_q = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, vw)
+        a = jnp.linalg.norm(res_q[:, 1:], axis=-1) - res_q[:, 0]  # >0: outside
+        sq = res_q.at[:, 0].add(jnp.maximum(a, 0.0) + delta)
+        zq = jnp.asarray(zqw, dtype)
+        az = jnp.linalg.norm(zq[:, 1:], axis=-1) - zq[:, 0]
+        zq = zq.at[:, 0].add(jnp.maximum(az, 0.0) + delta)
+        return vw, sl, zl, sq, zq
+
+    v0, sl0, zl0, sq0, zq0 = init() if warm is None else init_warm(warm)
 
     def body(carry):
         v, sl, zl, sq, zq, done, ok, mu_prev, nsteps, badc = carry

@@ -66,7 +66,8 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
                  u_l, u_u, x_l, x_u,
                  N: int, udim: int, xdim: int,
                  iters: int, tol_exp: int, kappa: float,
-                 has_ubox: bool, has_xbox: bool, tol_dynamic=None):
+                 has_ubox: bool, has_xbox: bool, tol_dynamic=None,
+                 warm=None):
     """Assemble + solve the CVaR-k epigraph cone program, all on device."""
     M, nc, nf = cqp.M, cqp.nc, cqp.nf
     nz = nc + M * nf
@@ -153,14 +154,16 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
 
     prob = ConeLP(P=P, q=c_obj, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
     v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
-                                   kappa=kappa, tol_dynamic=tol_dynamic)
+                                   kappa=kappa, tol_dynamic=tol_dynamic,
+                                   warm=warm)
 
     w = v[:nz]
     U = jnp.concatenate([
         jnp.broadcast_to(w[:nc], (M, nc)),
         w[nc:nz].reshape(M, nf)], axis=1).reshape(M, N, udim)
     X = (Xmap @ w + xoff).reshape(M, N, xdim)
-    return X, U, v[nz:], stats
+    warm_out = (v, s[0], z[0], s[1], z[1])
+    return X, U, v[nz:], stats, warm_out
 
 
 def cvar_solve(
@@ -199,18 +202,32 @@ def cvar_solve(
     has_ubox = u_l is not None and u_u is not None
     has_xbox = x_l is not None and x_u is not None
     j = lambda a: None if a is None else jnp.asarray(a, dtype)
-    X, U, ts, stats = _cvar_device(
-        jnp.asarray(H_per, dtype), jnp.asarray(q_per, dtype),
-        jnp.asarray(c_per, dtype), cqp,
-        jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
-        j(u_l), j(u_u), j(x_l), j(x_u),
-        N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp, kappa=kappa,
-        has_ubox=has_ubox, has_xbox=has_xbox,
-        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
+    # warm start from the previous SCP iteration's epigraph solve (reference
+    # parity: osqp_solver.jl reuses its solver object across iterations)
+    warm = None
+    prev_state = settings.get("solver_state")
+    if bool(settings.get("ipm_warm_start", True)) and isinstance(prev_state, dict):
+        cand = prev_state.get("cvar_warm")
+        if cand is not None:
+            warm = tuple(jnp.asarray(a, dtype) for a in cand)
+    args = (jnp.asarray(H_per, dtype), jnp.asarray(q_per, dtype),
+            jnp.asarray(c_per, dtype), cqp,
+            jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
+            j(u_l), j(u_u), j(x_l), j(x_u))
+    kw = dict(N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp,
+              kappa=kappa, has_ubox=has_ubox, has_xbox=has_xbox,
+              tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
+    try:
+        X, U, ts, stats, warm_out = _cvar_device(*args, warm=warm, **kw)
+    except (TypeError, ValueError):
+        if warm is None:
+            raise
+        # stale warm shapes (signature changed between SCP iterations)
+        X, U, ts, stats, warm_out = _cvar_device(*args, **kw)
     mu = float(stats["mu"])
     converged = bool(stats["converged"])
     data = dict(
-        solver_state=settings.get("solver_state"),
+        solver_state=dict(cvar_warm=tuple(np.asarray(a) for a in warm_out)),
         ipm_mu=mu,
         ipm_iters=int(stats["iters"]),
         ipm_converged=converged,

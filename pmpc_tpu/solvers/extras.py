@@ -255,7 +255,7 @@ def _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim):
 @partial(jax.jit, static_argnames=("dims", "sig", "iters", "tol_exp", "kappa"))
 def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
                          H_extra, q_extra, iters: int, tol_exp: int,
-                         kappa: float, tol_dynamic=None):
+                         kappa: float, tol_dynamic=None, warm=None):
     """One compiled program per constraint signature: assemble the dense cone
     QP and solve it with the NT-scaled cone IPM, all on device."""
     N, udim, xdim = dims
@@ -268,10 +268,12 @@ def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
     Gq, hq = _pad_socs(soc_blocks, nv, dtype)
     prob = ConeLP(P=P, q=q_ext, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
     v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
-                                   kappa=kappa, tol_dynamic=tol_dynamic)
+                                   kappa=kappa, tol_dynamic=tol_dynamic,
+                                   warm=warm)
     nz = nc + M * nf
     X, U = _recover_XU(v[:nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
-    return X, U, v[nz:], stats
+    warm_out = (v, s[0], z[0], s[1], z[1])
+    return X, U, v[nz:], stats, warm_out
 
 
 def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
@@ -355,17 +357,41 @@ def cone_solve_with_extras(
 
     has_exp = any(e for (_, _, e) in sig)
     if has_exp:
-        # exponential cones make the program non-symmetric: solved on the
-        # host (scipy, convex) — the reference also solves these on CPU
-        # (ECOS); pmpc_tpu's own logbarrier smoothing never reaches here
-        # (it is the TPU central-path solve, see solvers/ipm.py mu_target)
+        # exponential cones make the program non-symmetric (the NT-scaled
+        # IPM is for symmetric cones): solved by the device central-path
+        # barrier method (solvers/expbarrier.py, f64) — same accuracy class
+        # as the reference's ECOS-on-CPU for these programs. A scipy host
+        # solve remains as the fallback (settings["exp_device"]=False, or
+        # a non-converged device run). pmpc_tpu's own logbarrier smoothing
+        # never reaches here (it is the TPU central-path solve, see
+        # solvers/ipm.py mu_target).
         P, q_ext, Gl, hl, soc_blocks, exp_blocks, Xmap, xoff = _build_program(
             cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra)
-        v = _solve_exp_host(P, q_ext, Gl, hl, soc_blocks, exp_blocks)
+        v = None
+        if bool(settings.get("exp_device", True)):
+            from .expbarrier import exp_barrier_solve
+
+            nv = q_ext.shape[0]
+            Gq, hq = _pad_socs(soc_blocks, nv, dtype)
+            Ge = jnp.stack([g for g, _ in exp_blocks]) if exp_blocks \
+                else jnp.zeros((0, 3, nv), dtype)
+            he = jnp.stack([h for _, h in exp_blocks]) if exp_blocks \
+                else jnp.zeros((0, 3), dtype)
+            tol_exp = int(settings.get(
+                "ipm_tol_exp", -8 if dtype == np.float64 else -5))
+            v_dev, stats = exp_barrier_solve(P, q_ext, Gl, hl, Gq, hq, Ge, he,
+                                             tol_exp=tol_exp)
+            if bool(stats["converged"]) and np.isfinite(np.asarray(v_dev)).all():
+                v = np.asarray(v_dev)
+                data_extra = dict(exp_device=True,
+                                  ipm_mu=float(stats["mu"]))
+        if v is None:
+            v = _solve_exp_host(P, q_ext, Gl, hl, soc_blocks, exp_blocks)
+            data_extra = dict(exp_host_fallback=True)
         w = jnp.asarray(v[:nz], dtype)
         X, U = _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim)
         data = dict(solver_state=settings.get("solver_state"),
-                    ipm_converged=True, exp_host_fallback=True, aux=v[nz:])
+                    ipm_converged=True, aux=v[nz:], **data_extra)
         return np.asarray(X), np.asarray(U), data
 
     # the IPM while_loop exits early on convergence, so a generous cap costs
@@ -382,14 +408,33 @@ def cone_solve_with_extras(
             and np.isfinite(r):
         tol_dyn = float(np.clip(1e-3 * r * r, 0.0, 1e-3))
         tol_eff = max(tol_eff, tol_dyn)
-    X, U, aux, stats = _solve_extras_device(
-        cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
-        iters=iters, tol_exp=tol_exp, kappa=kappa,
-        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
+    # warm start from the previous SCP iteration's subproblem (reference
+    # parity: osqp_solver.jl reuses its solver object); only accepted when
+    # the shapes match the current signature
+    warm = None
+    prev_state = settings.get("solver_state")
+    if bool(settings.get("ipm_warm_start", True)) and isinstance(prev_state, dict):
+        cand = prev_state.get("cone_warm")
+        if cand is not None:
+            warm = tuple(jnp.asarray(a, dtype) for a in cand)
+    try:
+        X, U, aux, stats, warm_out = _solve_extras_device(
+            cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
+            iters=iters, tol_exp=tol_exp, kappa=kappa,
+            tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype),
+            warm=warm)
+    except (TypeError, ValueError):
+        if warm is None:
+            raise
+        # stale warm shapes (signature changed between SCP iterations)
+        X, U, aux, stats, warm_out = _solve_extras_device(
+            cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
+            iters=iters, tol_exp=tol_exp, kappa=kappa,
+            tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
     mu = float(stats["mu"])
     converged = bool(stats["converged"])
     data = dict(
-        solver_state=settings.get("solver_state"),
+        solver_state=dict(cone_warm=tuple(np.asarray(a) for a in warm_out)),
         ipm_mu=mu,
         ipm_iters=int(stats["iters"]),
         ipm_converged=converged,

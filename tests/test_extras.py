@@ -159,9 +159,10 @@ def test_terminal_cross_particle_cost_Hf():
     np.testing.assert_allclose(U1, U_o, atol=1e-5)
 
 
-def test_exp_cone_extra_constraint_host_fallback():
+def test_exp_cone_extra_constraint():
     """User exp-cone extra constraints (reference-legal: cone_utils.jl encodes
-    logbarrier terms as exp cones) solve on the host fallback. Encoding under
+    logbarrier terms as exp cones) solve on the device central-path barrier
+    solver, with the scipy host fallback agreeing. Encoding under
     this framework's s = h - Gz convention: minimize +t subject to
     exp(-a t) <= a (b - g'z), i.e. t >= -(1/a) log(a (b - g'z)) — so the
     optimum equals the barrier optimum min f(z) - (1/a) log(a (b - g'z)) + t*,
@@ -193,7 +194,20 @@ def test_exp_cone_extra_constraint_host_fallback():
         u_l=None, u_u=None, x_l=None, x_u=None,
         Nc=Nc, settings=dict(extra_cstrs=[ec]),
     )
-    assert data.get("exp_host_fallback"), data
+    # exp cones default to the device central-path barrier solver
+    assert data.get("exp_device"), data
+
+    # the scipy host fallback must agree with the device path
+    X_h, U_h, data_h = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None,
+        Nc=Nc, settings=dict(extra_cstrs=[ec], exp_device=False),
+    )
+    assert data_h.get("exp_host_fallback"), data_h
+    np.testing.assert_allclose(U, U_h, atol=1e-6)
 
     # independent barrier optimum: damped Newton on the equality-constrained
     # optimality system of f(z) - (1/alpha) log(alpha (b - g'z))
@@ -221,3 +235,50 @@ def test_exp_cone_extra_constraint_host_fallback():
             break
     X_o, U_o = oracle.split_z(z, N, xdim, udim, M, Nc)
     np.testing.assert_allclose(U, U_o, atol=5e-4)
+
+
+def test_exp_device_with_mixed_cone_families():
+    """Exp cones + box bounds (nonneg rows) + a SOC in ONE program: all three
+    barrier families of the device central-path solver active together,
+    checked against the scipy host fallback."""
+    rng = np.random.default_rng(13)
+    M, N, xdim, udim, Nc = 1, 4, 3, 2, 4
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    alpha, b_lim = 20.0, 0.25
+    nc = Nc * udim
+    n_full = nc + M * N * xdim
+    g = np.zeros(n_full)
+    g[1] = 1.0  # second control coordinate
+    G_exp = np.vstack([np.zeros(n_full), alpha * g, np.zeros(n_full)])
+    Gr_exp = np.array([[alpha], [0.0], [0.0]])
+    h_exp = np.array([0.0, alpha * b_lim, 1.0])
+    ec_exp = (0, [], 1, G_exp, Gr_exp, h_exp, np.zeros(n_full), np.array([1.0]))
+    # SOC on u_1: ||u_1|| <= 0.8
+    G_soc = np.zeros((1 + udim, n_full))
+    for r in range(udim):
+        G_soc[1 + r, udim + r] = -1.0
+    h_soc = np.concatenate([[0.8], np.zeros(udim)])
+    ec_soc = (0, [1 + udim], 0, G_soc, np.zeros((1 + udim, 0)), h_soc,
+              np.zeros(n_full), np.zeros(0))
+
+    udim_arr = 1.2 * np.ones((M, N, udim))
+    kw = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=-udim_arr, u_u=udim_arr, x_l=None, x_u=None, Nc=Nc)
+    X_d, U_d, d_d = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        settings=dict(extra_cstrs=[ec_exp, ec_soc]), **kw)
+    assert d_d.get("exp_device"), d_d
+    X_h, U_h, d_h = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        settings=dict(extra_cstrs=[ec_exp, ec_soc], exp_device=False), **kw)
+    assert d_h.get("exp_host_fallback"), d_h
+    np.testing.assert_allclose(U_d, U_h, atol=2e-5)
+    # constraints hold on the device solution
+    assert U_d[0, 0, 1] <= b_lim + 1e-6
+    assert np.linalg.norm(U_d[0, 1]) <= 0.8 + 1e-6
+    assert np.abs(U_d).max() <= 1.2 + 1e-6
