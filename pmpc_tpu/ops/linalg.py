@@ -42,7 +42,15 @@ def _use_host_inverse_factor(n: int) -> bool:
     if os.environ.get("PMPC_TPU_HOST_CHOL", "1") != "1":
         return False
     try:
-        on_cpu = jax.default_backend() == "cpu"
+        # jax.default_backend() IGNORES an active jax.default_device scope
+        # (verified: returns 'tpu' inside default_device(cpu) on the axon
+        # box) — the cone paths pin CPU exactly that way, so consult the
+        # scoped device first
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            on_cpu = getattr(dev, "platform", None) == "cpu"
+        else:
+            on_cpu = jax.default_backend() == "cpu"
     except Exception:
         on_cpu = True
     return on_cpu and n > 160

@@ -121,6 +121,66 @@ def _soc_step_len(s, ds):
     return jnp.min(jnp.where(cands > 0, cands, jnp.inf))
 
 
+def cone_host_setup(settings, dtype, sig_key, warm_name,
+                    iters32=35, tolexp32=-5, kappa32=1e-7):
+    """Shared prelude of the host cone paths (extras / CVaR).
+
+    Returns (iters, tol_exp, kappa, tol_eff, tol_dyn, warm):
+    - generous f64 iteration cap (the while_loop exits early on convergence;
+      cold solves to 1e-8 need ~25 its, warm ones 3-6),
+    - inexact-Newton forcing from the previous SCP residual (the fused
+      path's adaptive_tol rule: tol = clip(1e-3 r^2, 0, 1e-3)),
+    - warm (v, zl, zq) tuple from solver_state, accepted only when the
+      stored problem signature matches ``sig_key`` exactly."""
+    import numpy as _np
+
+    f64 = dtype == _np.float64
+    iters = int(settings.get("ipm_iters", 100 if f64 else iters32))
+    tol_exp = int(settings.get("ipm_tol_exp", -8 if f64 else tolexp32))
+    kappa = float(settings.get("ipm_kappa", 1e-10 if f64 else kappa32))
+    tol_eff = 10.0 ** tol_exp
+    tol_dyn = None
+    r = settings.get("scp_residual", None)
+    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
+            and _np.isfinite(r):
+        tol_dyn = float(_np.clip(1e-3 * r * r, 0.0, 1e-3))
+        tol_eff = max(tol_eff, tol_dyn)
+    warm = None
+    prev = settings.get("solver_state")
+    if bool(settings.get("ipm_warm_start", True)) and isinstance(prev, dict) \
+            and prev.get(warm_name + "_key") == sig_key:
+        cand = prev.get(warm_name)
+        if cand is not None:
+            warm = tuple(jnp.asarray(a, dtype) for a in cand)
+    return iters, tol_exp, kappa, tol_eff, tol_dyn, warm
+
+
+def cone_host_state(sig_key, warm_name, v, z):
+    """solver_state payload carrying the warm tuple + its signature key."""
+    import numpy as _np
+
+    warm_out = (v, z[0], z[1])
+    return {warm_name: tuple(_np.asarray(a) for a in warm_out),
+            warm_name + "_key": sig_key}
+
+
+def cone_host_stats(stats, tol_eff):
+    """Shared solve-quality report incl. the hard-failure flag: a cone IPM
+    far from its central path returned garbage, not an approximation — the
+    SCP loop rejects that subproblem."""
+    import numpy as _np
+
+    mu = float(stats["mu"])
+    converged = bool(stats["converged"])
+    return dict(
+        ipm_mu=mu,
+        ipm_iters=int(stats["iters"]),
+        ipm_converged=converged,
+        ipm_failed=bool((not converged)
+                        and (not _np.isfinite(mu) or mu > 1e2 * tol_eff)),
+    )
+
+
 @partial(jax.jit, static_argnames=("iters", "tol_exp", "kappa"))
 @with_matmul_precision("highest")
 def cone_qp_solve(
@@ -137,9 +197,9 @@ def cone_qp_solve(
     ``max(10^tol_exp, tol_dynamic)`` — inexact-Newton forcing without a
     recompile per value.
 
-    ``warm`` is an optional (v, sl, zl, sq, zq) tuple from a previous solve
-    of the same signature (e.g. the last SCP iteration's subproblem): slacks
-    are recomputed from the warm PRIMAL against the new constraints (primal
+    ``warm`` is an optional (v, zl, zq) tuple from a previous solve of the
+    same signature (e.g. the last SCP iteration's subproblem): slacks are
+    recomputed from the warm PRIMAL against the new constraints (primal
     residual starts ~0) and nudged into the cone interiors; duals carry
     over. Shapes must match the PADDED problem, i.e. exactly what a prior
     call returned."""
@@ -206,7 +266,7 @@ def cone_qp_solve(
         return v, sl, zl, sq, zq
 
     def init_warm(w):
-        vw, slw, zlw, sqw, zqw = w
+        vw, zlw, zqw = w
         vw = jnp.asarray(vw, dtype)
         delta = jnp.asarray(1e-2, dtype)
         # slacks from the warm primal against the NEW h (r_p starts ~0
@@ -355,7 +415,6 @@ def cone_qp_solve(
             jnp.max(jnp.abs(r_pq)) if ncones else jnp.asarray(0.0, dtype),
         )
         rd_inf = jnp.max(jnp.abs(r_d))
-        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (rd_inf < 1e3 * tol)
         # a non-finite/exploding step keeps the PREVIOUS iterate (checked
         # before the state write so NaN never escapes) and bumps the retry
         # counter — the next iteration re-solves with boosted regularization;
@@ -368,6 +427,11 @@ def cone_qp_solve(
             # later algebra is meaningless: treat the escape as a breakdown
             _esc = lambda u_: jnp.max(jnp.linalg.norm(u_[:, 1:], axis=-1) - u_[:, 0])
             step_bad = step_bad | (_esc(sq_n) > 0) | (_esc(zq_n) > 0)
+        # a broken step's slack products can be NEGATIVE, pushing mu_n below
+        # tol spuriously while the state freezes to the pre-step iterate —
+        # convergence must come from a CLEAN step
+        now_done = (~step_bad) & (mu_n < tol) \
+            & (rp_inf < jnp.sqrt(tol)) & (rd_inf < 1e3 * tol)
 
         frozen = done | step_bad
         sel = lambda a_, b_: jnp.where(frozen, b_, a_)

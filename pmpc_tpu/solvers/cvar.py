@@ -162,8 +162,7 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
         jnp.broadcast_to(w[:nc], (M, nc)),
         w[nc:nz].reshape(M, nf)], axis=1).reshape(M, N, udim)
     X = (Xmap @ w + xoff).reshape(M, N, xdim)
-    warm_out = (v, s[0], z[0], s[1], z[1])
-    return X, U, v[nz:], stats, warm_out
+    return X, U, v[nz:], stats, (v, z)
 
 
 def cvar_solve(
@@ -179,62 +178,35 @@ def cvar_solve(
     settings: Optional[Dict[str, Any]] = None,
 ):
     """Solve the CVaR-k consensus problem. Returns (X, U, data)."""
+    from .coneipm import cone_host_setup, cone_host_state, cone_host_stats
+
     settings = settings or {}
     dtype = np.dtype(np.asarray(cqp.qf).dtype)
     eps = float(settings.get("cost_anchor_eps", COST_ANCHOR_EPS))
-    # generous f64 cap: the IPM while_loop exits early on convergence
-    # (cold solves to 1e-8 need ~25 its with the damped corrector)
-    iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 50))
-    # float32 floor for the epigraph cone program is a ~1e-3 RELATIVE gap
-    tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -3))
-    kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-6))
-
-    # inexact-Newton forcing from the SCP residual (same rule as the fused
-    # path's adaptive_tol): early SCP iterations take loose subproblem solves
-    tol_eff = 10.0 ** tol_exp
-    tol_dyn = None
-    r = settings.get("scp_residual", None)
-    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
-            and np.isfinite(r):
-        tol_dyn = float(np.clip(1e-3 * r * r, 0.0, 1e-3))
-        tol_eff = max(tol_eff, tol_dyn)
 
     has_ubox = u_l is not None and u_u is not None
     has_xbox = x_l is not None and x_u is not None
+    M, nc, nf = cqp.M, cqp.nc, cqp.nf
+    # shared host-cone prelude (see coneipm.cone_host_setup); f32 floor for
+    # the epigraph program is a ~1e-3 RELATIVE gap, hence tolexp32=-3
+    sig_key = ("cvar", N, udim, xdim, M, nc, nf, int(k), has_ubox, has_xbox)
+    iters, tol_exp, kappa, tol_eff, tol_dyn, warm = cone_host_setup(
+        settings, dtype, sig_key, "cvar_warm", iters32=50, tolexp32=-3,
+        kappa32=1e-6)
+
     j = lambda a: None if a is None else jnp.asarray(a, dtype)
-    # warm start from the previous SCP iteration's epigraph solve (reference
-    # parity: osqp_solver.jl reuses its solver object across iterations)
-    warm = None
-    prev_state = settings.get("solver_state")
-    if bool(settings.get("ipm_warm_start", True)) and isinstance(prev_state, dict):
-        cand = prev_state.get("cvar_warm")
-        if cand is not None:
-            warm = tuple(jnp.asarray(a, dtype) for a in cand)
-    args = (jnp.asarray(H_per, dtype), jnp.asarray(q_per, dtype),
-            jnp.asarray(c_per, dtype), cqp,
-            jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
-            j(u_l), j(u_u), j(x_l), j(x_u))
-    kw = dict(N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp,
-              kappa=kappa, has_ubox=has_ubox, has_xbox=has_xbox,
-              tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
-    try:
-        X, U, ts, stats, warm_out = _cvar_device(*args, warm=warm, **kw)
-    except (TypeError, ValueError):
-        if warm is None:
-            raise
-        # stale warm shapes (signature changed between SCP iterations)
-        X, U, ts, stats, warm_out = _cvar_device(*args, **kw)
-    mu = float(stats["mu"])
-    converged = bool(stats["converged"])
+    X, U, ts, stats, (v_out, z_out) = _cvar_device(
+        jnp.asarray(H_per, dtype), jnp.asarray(q_per, dtype),
+        jnp.asarray(c_per, dtype), cqp,
+        jnp.asarray(float(k), dtype), jnp.asarray(eps, dtype),
+        j(u_l), j(u_u), j(x_l), j(x_u),
+        N=N, udim=udim, xdim=xdim, iters=iters, tol_exp=tol_exp, kappa=kappa,
+        has_ubox=has_ubox, has_xbox=has_xbox,
+        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype),
+        warm=warm)
     data = dict(
-        solver_state=dict(cvar_warm=tuple(np.asarray(a) for a in warm_out)),
-        ipm_mu=mu,
-        ipm_iters=int(stats["iters"]),
-        ipm_converged=converged,
-        # far-from-converged (or non-finite) epigraph solves are garbage, not
-        # approximations: flag so the SCP loop rejects the subproblem
-        ipm_failed=bool((not converged)
-                        and (not np.isfinite(mu) or mu > 1e2 * tol_eff)),
+        solver_state=cone_host_state(sig_key, "cvar_warm", v_out, z_out),
         ts=np.asarray(ts),
+        **cone_host_stats(stats, tol_eff),
     )
     return np.asarray(X), np.asarray(U), data

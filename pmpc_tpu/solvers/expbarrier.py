@@ -251,14 +251,21 @@ def exp_barrier_solve(P, q, Gl, hl, Gq, hq, Ge, he,
         # keep the old point if centering ever went non-finite
         good = jnp.isfinite(vt_n).all()
         vt_n = jnp.where(good, vt_n, vt_)
-        return (vt_n, jnp.maximum(mu / 5.0, mu_min)), None
+        return (vt_n, jnp.maximum(mu / 5.0, mu_min)), mu
 
-    (vt, mu), _ = lax.scan(outer, (vt, mu0), None, length=n_outer)
+    (vt, _), mus = lax.scan(outer, (vt, mu0), None, length=n_outer)
+    mu_used = mus[-1]  # the mu the returned point was actually centered at
     v = vt[:nv]
     sl, sq, se = _slacks(v, Gl, hl, Gq, hq, Ge, he,
                          jnp.asarray(0.0, dtype), 0.0)
-    ok = feasible & jnp.isfinite(v).all() & (_min_margin(sl, sq, se) > 0)
-    # duality-gap proxy: nbar * mu at the final centering
-    gap = jnp.asarray(float(max(nbar, 1)), dtype) * mu
+    # convergence needs actual centering progress, not just feasibility: a
+    # stalled phase-II (every backtrack failing) leaves a large Newton
+    # decrement at the final mu — reject it so callers take the fallback
+    _, dec2 = newton_step(vt, jnp.asarray(0.0, dtype), 1.0 / mu_used)
+    centered = dec2 < jnp.asarray(1e-2, dtype)
+    ok = feasible & jnp.isfinite(v).all() & (_min_margin(sl, sq, se) > 0) \
+        & centered
+    # duality-gap proxy: nbar * mu of the final centering
+    gap = jnp.asarray(float(max(nbar, 1)), dtype) * mu_used
     stats = dict(mu=gap, iters=jnp.asarray(n_outer, jnp.int32), converged=ok)
     return v, stats

@@ -272,8 +272,7 @@ def _solve_extras_device(cqp, dims, sig, ubounds, xbounds, ecs,
                                    warm=warm)
     nz = nc + M * nf
     X, U = _recover_XU(v[:nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
-    warm_out = (v, s[0], z[0], s[1], z[1])
-    return X, U, v[nz:], stats, warm_out
+    return X, U, v[nz:], stats, (v, z)
 
 
 def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
@@ -320,7 +319,8 @@ def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
         jac=lambda v: H @ v + q,
         constraints=cons, method="trust-constr",
         options=dict(maxiter=5000, gtol=1e-10, xtol=1e-12))
-    return res.x
+    # status 1 (gtol) / 2 (xtol) are converged; 0 (maxiter) / 3 are not
+    return res.x, res.status in (1, 2) and np.isfinite(res.x).all()
 
 
 def cone_solve_with_extras(
@@ -386,62 +386,40 @@ def cone_solve_with_extras(
                 data_extra = dict(exp_device=True,
                                   ipm_mu=float(stats["mu"]))
         if v is None:
-            v = _solve_exp_host(P, q_ext, Gl, hl, soc_blocks, exp_blocks)
-            data_extra = dict(exp_host_fallback=True)
+            v, host_ok = _solve_exp_host(P, q_ext, Gl, hl, soc_blocks,
+                                         exp_blocks)
+            # both the device barrier and the host solve failed: garbage,
+            # not an approximation — the SCP loop rejects the subproblem
+            data_extra = dict(exp_host_fallback=True,
+                              ipm_failed=not bool(host_ok))
         w = jnp.asarray(v[:nz], dtype)
         X, U = _recover_XU(w, Xmap, xoff, M, nc, nf, N, udim, xdim)
         data = dict(solver_state=settings.get("solver_state"),
-                    ipm_converged=True, aux=v[nz:], **data_extra)
+                    ipm_converged=not data_extra.get("ipm_failed", False),
+                    aux=v[nz:], **data_extra)
         return np.asarray(X), np.asarray(U), data
 
-    # the IPM while_loop exits early on convergence, so a generous cap costs
-    # nothing on easy/warm solves (cold f64 solves to 1e-8 need ~25 its)
-    iters = int(settings.get("ipm_iters", 100 if dtype == np.float64 else 35))
-    tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
-    kappa = float(settings.get("ipm_kappa", 1e-10 if dtype == np.float64 else 1e-7))
-    # inexact-Newton forcing from the SCP residual (same rule as the fused
-    # path's adaptive_tol): early SCP iterations take loose subproblem solves
-    tol_eff = 10.0 ** tol_exp
-    tol_dyn = None
-    r = settings.get("scp_residual", None)
-    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
-            and np.isfinite(r):
-        tol_dyn = float(np.clip(1e-3 * r * r, 0.0, 1e-3))
-        tol_eff = max(tol_eff, tol_dyn)
-    # warm start from the previous SCP iteration's subproblem (reference
-    # parity: osqp_solver.jl reuses its solver object); only accepted when
-    # the shapes match the current signature
-    warm = None
-    prev_state = settings.get("solver_state")
-    if bool(settings.get("ipm_warm_start", True)) and isinstance(prev_state, dict):
-        cand = prev_state.get("cone_warm")
-        if cand is not None:
-            warm = tuple(jnp.asarray(a, dtype) for a in cand)
-    try:
-        X, U, aux, stats, warm_out = _solve_extras_device(
-            cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
-            iters=iters, tol_exp=tol_exp, kappa=kappa,
-            tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype),
-            warm=warm)
-    except (TypeError, ValueError):
-        if warm is None:
-            raise
-        # stale warm shapes (signature changed between SCP iterations)
-        X, U, aux, stats, warm_out = _solve_extras_device(
-            cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
-            iters=iters, tol_exp=tol_exp, kappa=kappa,
-            tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype))
-    mu = float(stats["mu"])
-    converged = bool(stats["converged"])
+    # shared host-cone prelude: generous early-exit iteration cap,
+    # inexact-Newton forcing from the SCP residual, and the warm (v, zl, zq)
+    # start from the previous SCP iteration (reference parity:
+    # osqp_solver.jl reuses its solver object), keyed on the exact problem
+    # signature so stale warm tuples are dropped, never trial-traced
+    from .coneipm import cone_host_setup, cone_host_state, cone_host_stats
+
+    sig_key = ("extras", dims, sig, M, nc, nf,
+               ubounds[0] is not None, xbounds[0] is not None,
+               H_extra is not None)
+    iters, tol_exp, kappa, tol_eff, tol_dyn, warm = cone_host_setup(
+        settings, dtype, sig_key, "cone_warm", iters32=35, tolexp32=-5,
+        kappa32=1e-7)
+    X, U, aux, stats, (v_out, z_out) = _solve_extras_device(
+        cqp, dims, sig, ubounds, xbounds, ecs_j, H_extra, q_extra,
+        iters=iters, tol_exp=tol_exp, kappa=kappa,
+        tol_dynamic=None if tol_dyn is None else jnp.asarray(tol_dyn, dtype),
+        warm=warm)
     data = dict(
-        solver_state=dict(cone_warm=tuple(np.asarray(a) for a in warm_out)),
-        ipm_mu=mu,
-        ipm_iters=int(stats["iters"]),
-        ipm_converged=converged,
-        # far-from-converged cone solves are garbage, not approximations:
-        # flag so the SCP loop rejects the subproblem
-        ipm_failed=bool((not converged)
-                        and (not np.isfinite(mu) or mu > 1e2 * tol_eff)),
+        solver_state=cone_host_state(sig_key, "cone_warm", v_out, z_out),
         aux=np.asarray(aux),
+        **cone_host_stats(stats, tol_eff),
     )
     return np.asarray(X), np.asarray(U), data
