@@ -69,7 +69,7 @@ def rollout_feedback(x0, f, fx, fu, X_prev, U_prev, L, l):
     return X, U
 
 
-def condense(x0, f, fx, fu, X_prev, U_prev) -> Tuple[jax.Array, jax.Array]:
+def condense(x0, f, fx, fu, X_prev, U_prev, unroll: int = 1) -> Tuple[jax.Array, jax.Array]:
     """Build the dense condensed dynamics map ``vec(X) = Ft @ vec(U - U_prev) + ft``.
 
     ``Ft`` is block lower-triangular with blocks
@@ -104,7 +104,7 @@ def condense(x0, f, fx, fu, X_prev, U_prev) -> Tuple[jax.Array, jax.Array]:
         return (row, x_next), (row, x_next)
 
     init = (jnp.zeros((xdim, N * udim), dtype=f.dtype), x0)
-    _, (rows, xs) = lax.scan(step, init, (f, fx, E, xlin))
+    _, (rows, xs) = lax.scan(step, init, (f, fx, E, xlin), unroll=unroll)
     Ft = rows.reshape(N * xdim, N * udim)
     ft = xs.reshape(N * xdim)
     return Ft, ft

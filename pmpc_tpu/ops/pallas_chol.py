@@ -1,19 +1,29 @@
-"""Pallas TPU kernel: fused batched Cholesky + inverse factor.
+"""Pallas TPU kernels: fused batched Cholesky + inverse factor.
 
 The hot operation of the IPM is factoring thousands of small SPD matrices
-(B*M ~ 8192, n ~ 50) every Newton iteration. XLA's cholesky costs ~47 ms at
-that size; the blocked-GEMM reformulation (`ops.block_chol`) ~14 ms. This
-kernel computes ``Minv = L^{-1}`` (A = L L') entirely in VMEM with the BATCH
-axis laid out on the TPU lane dimension:
+(B*M ~ 8192, n ~ 50-100) every Newton iteration. XLA's cholesky costs ~47 ms
+at (8192, 50, 50) f32; the blocked-GEMM reformulation (`ops.block_chol`)
+~14 ms. These kernels compute ``Minv = L^{-1}`` (A = L L') entirely in VMEM
+with the BATCH axis laid out on the TPU lane dimension:
 
     A is processed as (n, n, TB) tiles — every column operation is a
     (n, TB) vector op on the VPU, the rank-1 downdate a (n, n, TB)
     elementwise op; nothing round-trips to HBM until the final write.
 
+Two variants, selected by size (both return the same representation as
+`ops.block_chol.inv_cholesky`, so solves remain two batched GEMMs):
+
+- small n (<= ~68): input VMEM block + L scratch + output workspace — three
+  buffers, but Mosaic's automatic grid pipelining overlaps the input load
+  with compute (measured ~10-25% faster than the single-buffer variant),
+- large n (<= ~96): ONE VMEM buffer — the output block, DMA-filled straight
+  from HBM and factored/inverted fully in place. This is what lets n=90
+  (the N=50 pod-scale config) run in Pallas at all: the three-buffer
+  variant VMEM-OOMs beyond n~68.
+
 Grid: one program per batch tile of TB=128 (lane width). The n-step column
 loop and n-step forward substitution are static Python loops (unrolled at
-trace time). Returns the same representation `ops.block_chol.inv_cholesky`
-produces, so solves remain two batched GEMMs.
+trace time).
 """
 
 from __future__ import annotations
@@ -26,27 +36,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TB = 128  # batch tile: the lane dimension is always padded to 128 in VMEM,
-#           so smaller tiles don't reduce memory — instead the input block is
-#           ALIASED with the output (3 buffers total) and `fits_vmem` gates n
+#           so smaller tiles don't reduce memory — `fits_vmem` gates n instead
 
 
-def fits_vmem(n: int) -> bool:
-    """3 (n_pad, n, 128) f32 buffers (aliased in/out + 2 scratch), times 2 for
-    Mosaic's grid double-buffering, under ~14MB. Without the 2x factor n=90
-    compiled standalone but VMEM-OOMed under an outer vmap (scoped allocation
-    25.3M > 16M limit); oversize n falls back to the blocked-GEMM factor."""
+def _fits_small(n: int) -> bool:
+    """Three (n_pad, n, 128) f32 buffers (in block + out workspace + L
+    scratch), times 2 for Mosaic's grid double-buffering, under ~14MB."""
     n_pad = -(-n // 8) * 8
     return 2 * 3 * n_pad * n * 128 * 4 <= 14 * 1024 * 1024
 
 
-def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, L):
+def _fits_big(n: int) -> bool:
+    """Single (n_pad, n_pad, 128) buffer variant. Measured Mosaic scoped-vmem
+    usage is ~2.8x one block (grid double-buffering + DMA staging): n=118
+    (n_pad=120) OOMed at 20.49M/16M, so budget 3 blocks under 15M."""
+    n_pad = -(-n // 8) * 8
+    return 3 * n_pad * n_pad * 128 * 4 <= 15 * 1024 * 1024
+
+
+def fits_vmem(n: int) -> bool:
+    """Can some Pallas variant factor (B, n, n) f32? Oversize n falls back
+    to the blocked-GEMM factor (`ops.block_chol`)."""
+    return n > 0 and (_fits_small(n) or _fits_big(n))
+
+
+def _chol_inv_kernel_small(n: int, jitter: float, A_ref, M_ref, L):
     # The OUTPUT block doubles as the factorization workspace: the downdate
     # loop consumes the copied A to ~0, then the forward substitution
     # overwrites its rows top-down with Minv (row i reads only rows < i,
-    # already rewritten). One VMEM buffer fewer than a separate S scratch —
-    # the margin that lets n=90 fit under the scoped-vmem limit. (A_ref is
-    # additionally HBM-aliased with M_ref, which saves the HBM copy; the
-    # VMEM in/out blocks are still distinct, hence the explicit copy.)
+    # already rewritten). (A_ref is additionally HBM-aliased with M_ref,
+    # which saves the HBM copy; the VMEM in/out blocks are still distinct,
+    # hence the explicit copy.)
     M_ref[...] = A_ref[...]
     if jitter:
         for j in range(n):
@@ -68,7 +88,7 @@ def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, L):
     # forward substitution: row i of Minv solves L[i,:i] M[:i,:] + L[i,i] M[i,:] = e_i
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
     for i in range(n):
-        e = jnp.where(row_ids == i, 1.0, 0.0).astype(A_ref.dtype)
+        e = jnp.where(row_ids == i, 1.0, 0.0).astype(M_ref.dtype)
         if i > 0:
             # sum_k<i L[i,k,:] * M[k,:,:]  -> (n, TB)
             Lrow = L[i, :, :]  # (n, TB) value (refs don't take None indices)
@@ -77,32 +97,141 @@ def _chol_inv_kernel(n: int, jitter: float, A_ref, M_ref, L):
         M_ref[i, :, :] = e / L[i, i, :][None, :]
 
 
-@partial(jax.jit, static_argnames=("jitter",))
-def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
-    """Minv = L^{-1} for A (B, n, n) SPD, f32. B padded to a tile multiple."""
+def _chol_inv_kernel_big(n: int, jitter: float, A_ref, M_ref, sem):
+    # The OUTPUT block is the ONLY VMEM buffer: the input batch tile is DMA'd
+    # from HBM straight into it, the factorization runs fully in place (the
+    # downdate at step j only touches the (>= j, >= j) trailing submatrix, so
+    # finished L columns — written into column j right after its downdate —
+    # are never disturbed), and the forward substitution then overwrites the
+    # rows top-down with Minv (row i reads L[i, :i] from its own not-yet-
+    # rewritten row, Minv rows < i already rewritten, and the L diagonal).
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        A_ref.at[:, :, pl.ds(i * TB, TB)], M_ref, sem)
+    cp.start()
+    cp.wait()
+    if jitter:
+        for j in range(n):
+            M_ref[j, j, :] = M_ref[j, j, :] + jitter
+
+    # column (outer-product) Cholesky, batch on lanes, in place
+    for j in range(n):
+        piv = M_ref[j, j, :]
+        d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
+        col = M_ref[:, j, :] / d[None, :]  # (n, TB)
+        mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
+        col = jnp.where(mask, col, 0.0)
+        # rank-1 downdate first (col is zero at indices < j, so the update
+        # vanishes on every finished row/column), then store L column j —
+        # the downdate would otherwise zero it out (S[i,j] -= col_i * d)
+        M_ref[...] = M_ref[...] - col[:, None, :] * col[None, :, :]
+        M_ref[:, j, :] = col
+
+    # forward substitution, in place: L row i lives in M_ref[i, :i]
+    # (column-stored factor), Minv rows < i are already rewritten above
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
+    for i in range(n):
+        d = M_ref[i, i, :]  # L[i,i], read before row i is overwritten
+        e = jnp.where(row_ids == i, 1.0, 0.0).astype(M_ref.dtype)
+        if i > 0:
+            Lrow = M_ref[i, :, :]  # (n, TB)
+            acc = jnp.sum(Lrow[:i][:, None, :] * M_ref[:i, :, :], axis=0)
+            e = e - acc
+        M_ref[i, :, :] = e / d[None, :]
+
+
+def _pallas_inv_cholesky_impl(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     B, n, _ = A.shape
     nb = -(-B // TB)
     Bp = nb * TB
-    At = jnp.moveaxis(A, 0, -1)  # (n, n, B)
-    if Bp != B:
-        At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
-        # padding batch entries get identity so the factorization is defined
-        eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
-        padmask = (jnp.arange(Bp) >= B)[None, None, :]
-        At = jnp.where(padmask, eye, At)
 
-    kernel = partial(_chol_inv_kernel, n, jitter)
+    if _fits_small(n):
+        At = jnp.moveaxis(A, 0, -1)  # (n, n, B)
+        if Bp != B:
+            At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
+            # padding batch entries get identity so the factorization is defined
+            eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
+            padmask = (jnp.arange(Bp) >= B)[None, None, :]
+            At = jnp.where(padmask, eye, At)
+        kernel = partial(_chol_inv_kernel_small, n, jitter)
+        Mt = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n, n, TB), A.dtype),
+            ],
+            input_output_aliases={0: 0},
+        )(At)
+        return jnp.moveaxis(Mt[:, :, :B], -1, 0)
+
+    np_ = -(-n // 8) * 8
+    At = jnp.moveaxis(A, 0, -1)  # (n, n, B)
+    if Bp != B or np_ != n:
+        At = jnp.pad(At, ((0, np_ - n), (0, np_ - n), (0, Bp - B)))
+        if np_ != n:
+            idx = jnp.arange(n, np_)
+            At = At.at[idx, idx, :].set(1.0)
+        if Bp != B:
+            eye = jnp.eye(np_, dtype=A.dtype)[:, :, None]
+            padmask = (jnp.arange(Bp) >= B)[None, None, :]
+            At = jnp.where(padmask, eye, At)
+
+    kernel = partial(_chol_inv_kernel_big, np_, jitter)
     Mt = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((np_, np_, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
+        out_shape=jax.ShapeDtypeStruct((np_, np_, Bp), A.dtype),
         scratch_shapes=[
-            pltpu.VMEM((n, n, TB), A.dtype),
+            pltpu.SemaphoreType.DMA,
         ],
-        input_output_aliases={0: 0},
     )(At)
-    return jnp.moveaxis(Mt[:, :, :B], -1, 0)
+    return jnp.moveaxis(Mt[:n, :n, :B], -1, 0)
+
+
+def _make_batched_factor(jitter: float):
+    """custom_vmap wrapper: an outer jax.vmap folds its axis into the
+    kernel's batch axis instead of batching the pallas_call itself — the
+    ANY-memory-space input of the big kernel has no batching rule, and even
+    for the small kernel merged batches tile better (fewer partial TB
+    tiles). Kernel math is per-batch-element, so the fold is exact."""
+
+    @jax.custom_batching.custom_vmap
+    def fac(A):
+        return _pallas_inv_cholesky_impl(A, jitter=jitter)
+
+    @fac.def_vmap
+    def _fac_vmap(axis_size, in_batched, A):  # noqa: ANN001
+        (a_batched,) = in_batched
+        if not a_batched:
+            return fac(A), False
+        lead = A.shape[:2]
+        out = fac(A.reshape((lead[0] * lead[1],) + A.shape[2:]))
+        return out.reshape(lead + out.shape[1:]), True
+
+    return fac
+
+
+_FACTOR_CACHE: dict = {}
+
+
+def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
+    """Minv = L^{-1} for A (B, n, n) SPD, f32. B padded to a tile multiple.
+
+    Dispatches on n: the three-buffer pipelined kernel where it fits, else
+    the single-buffer in-place kernel (n padded to a multiple of 8 — the
+    HBM->VMEM DMA needs an 8-aligned sublane slice — with identity on the
+    padded diagonal; the inverse factor of blockdiag(A, I) is
+    blockdiag(L^{-1}, I), so the un-pad slice at the end is exact)."""
+    key = float(jitter)
+    fac = _FACTOR_CACHE.get(key)
+    if fac is None:
+        fac = _FACTOR_CACHE.setdefault(key, _make_batched_factor(key))
+    return fac(A)
