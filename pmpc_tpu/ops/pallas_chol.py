@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 TB = 128  # batch tile: the lane dimension is always padded to 128 in VMEM,
 #           so smaller tiles don't reduce memory — `fits_vmem` gates n instead
 
+INTERPRET = False  # tests flip this to run the kernels through the Pallas
+#                    interpreter on CPU (the suite never sees a real TPU)
+
 
 def _fits_small(n: int) -> bool:
     """Three (n_pad, n, 128) f32 buffers (in block + out workspace + L
@@ -166,6 +169,7 @@ def _pallas_inv_cholesky_impl(A: jax.Array, jitter: float = 0.0) -> jax.Array:
                 pltpu.VMEM((n, n, TB), A.dtype),
             ],
             input_output_aliases={0: 0},
+            interpret=INTERPRET,
         )(At)
         return jnp.moveaxis(Mt[:, :, :B], -1, 0)
 
@@ -185,13 +189,14 @@ def _pallas_inv_cholesky_impl(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     Mt = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((np_, np_, TB), lambda i: (0, 0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((np_, np_, Bp), A.dtype),
         scratch_shapes=[
             pltpu.SemaphoreType.DMA,
         ],
+        interpret=INTERPRET,
     )(At)
     return jnp.moveaxis(Mt[:n, :n, :B], -1, 0)
 
