@@ -27,7 +27,8 @@ def main():
     from pmpc_tpu.jax_scp import build_scp_solver
     from __graft_entry__ import _flagship
 
-    B = int(os.environ.get("PMPC_BENCH_B", "128"))  # measured sweet spot (64->285, 128->307, 256->287 solves/s/chip)
+    B = int(os.environ.get("PMPC_BENCH_B", "64"))  # measured sweet spot after the
+    # batch-folded Pallas factor (64->548, 128->535, 256->506, 512->478 solves/s/chip)
     reps = int(os.environ.get("PMPC_BENCH_REPS", "5"))
 
     solver, data = _flagship()

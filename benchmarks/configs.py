@@ -119,7 +119,7 @@ def main():
     s5 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=M, Nc=5,
                           max_it=8, res_tol=1e-5, has_u_bounds=True,
                           ipm_iters=15, jit=False)
-    B5 = int(os.environ.get("PMPC_CFG5_B", "16"))
+    B5 = int(os.environ.get("PMPC_CFG5_B", "32"))  # sweep: 8->74, 16->71, 32->80, 64->68 solves/s
     sps, U, resid = bench_solver(s5, d5, B=B5, reps=2)
     report("5_podscale_M64_N50_per_chip", sps,
            dict(B_per_chip=B5, note="full 4096-scenario config is a multi-host job"))
