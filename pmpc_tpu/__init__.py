@@ -73,6 +73,7 @@ SOLVE_KWS = {
     "u0_slew",
     "cost_fn",
     "lin_cost_fn",
+    "diff_cost_fn",  # ours: accepted directly by solve (reference: experimental-only)
     "extra_cstrs_fns",
     "method",
     "solver_settings",

@@ -345,6 +345,12 @@ def scp_solve(
     )
 
     settings = copy(solver_settings) if solver_settings is not None else dict()
+    # `diff_cost_fn` is accepted as a top-level kwarg too (the reference only
+    # supports it on the experimental path, jax_solver.py:77): it is a solver
+    # concern, so fold it into the settings dict the backends read — without
+    # this it would land in extra_kw and be SILENTLY ignored
+    if "diff_cost_fn" in extra_kw:
+        settings.setdefault("diff_cost_fn", extra_kw["diff_cost_fn"])
     data: Dict[str, Any] = dict(solver_data=[], hist=[], sol_hist=[], t_aff_solve=[])
     keep_sol_hist = debug or filter_method != ""
     table = TablePrinter(list(HIST_FIELDS), fmts=list(HIST_FMTS))

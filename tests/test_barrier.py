@@ -151,3 +151,30 @@ def test_diff_cost_fn_quadratic_extra_matches_exact():
         u_l=None, u_u=None, x_l=None, x_u=None, Nc=0, settings={},
     )
     np.testing.assert_allclose(U_s, U_e, atol=2e-3)
+
+
+def test_diff_cost_fn_top_level_kwarg_wired():
+    """solve(diff_cost_fn=...) as a TOP-LEVEL kwarg must reach the smooth
+    path (it used to fall into extra_kw and be silently ignored); it must
+    match the solver_settings route exactly."""
+    import jax.numpy as jnp
+
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 8, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    base = dict(u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+                reg_x=3.0, reg_u=1.0, max_it=3, res_tol=1e-5, verbose=False)
+
+    def extra(X, U, *a, **kw):
+        return jnp.mean((X + 5.0) ** 2)
+
+    X0, U0, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), **base)
+    X1, U1, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), diff_cost_fn=extra, **base)
+    X2, U2, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim),
+                               solver_settings=dict(diff_cost_fn=extra), **base)
+    assert np.abs(U1 - U0).max() > 1e-3, "diff_cost_fn kwarg was ignored"
+    np.testing.assert_allclose(U1, U2, atol=1e-9)
