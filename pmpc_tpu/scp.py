@@ -351,6 +351,10 @@ def scp_solve(
     # this it would land in extra_kw and be SILENTLY ignored
     if "diff_cost_fn" in extra_kw:
         settings.setdefault("diff_cost_fn", extra_kw["diff_cost_fn"])
+    # `method` likewise (SOLVE_KWS lists it): selects the subproblem solver
+    # structure (e.g. "riccati" for the O(N) stage-structured path)
+    if "method" in extra_kw:
+        settings.setdefault("method", extra_kw["method"])
     data: Dict[str, Any] = dict(solver_data=[], hist=[], sol_hist=[], t_aff_solve=[])
     keep_sol_hist = debug or filter_method != ""
     table = TablePrinter(list(HIST_FIELDS), fmts=list(HIST_FMTS))

@@ -401,7 +401,10 @@ def riccati_ipm_core(
         mu_n = mu_of(s_n, lam_n)
 
         rp_inf = jnp.max(jnp.abs(r_p))
-        gd_inf = jnp.maximum(jnp.max(jnp.abs(gc)), jnp.max(jnp.abs(gf)))
+        # full consensus (Nc=N) leaves the free block zero-sized
+        gd_inf = jnp.maximum(
+            jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, gc.dtype),
+            jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, gf.dtype))
         step_bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(jnp.sum(th_n))
                      & jnp.isfinite(jnp.sum(uf_n)))
         now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)

@@ -127,3 +127,43 @@ def test_host_dispatch_riccati_one_sided():
         *args, **common, settings=dict(method="riccati", ipm_tol_exp=-10))
     np.testing.assert_allclose(Ur, Uc, atol=1e-6)
     assert Ur.max() <= 0.4 + 1e-8
+
+
+def test_host_dispatch_riccati_full_consensus():
+    """Nc=-1 (full consensus) leaves the free block zero-sized; the riccati
+    IPM used to crash on a zero-size jnp.max there. Must match condensed."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(13)
+    M, N, xdim, udim = 2, 8, 3, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    u_l = np.full((M, N, udim), -0.5)
+    u_u = np.full((M, N, udim), 0.5)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=u_l, u_u=u_u, x_l=None, x_u=None, Nc=N)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings={})
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common, settings=dict(method="riccati", ipm_tol_exp=-10))
+    np.testing.assert_allclose(Ur, Uc, atol=1e-6)
+
+
+def test_solve_method_kwarg_top_level():
+    """solve(method="riccati") as a top-level kwarg (it is in SOLVE_KWS) must
+    select the riccati path, not be silently dropped into extra_kw."""
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 8, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    kw = dict(max_it=5, verbose=False, res_tol=1e-7,
+              u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)))
+    Xc, Uc, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), **kw)
+    Xr, Ur, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), method="riccati", **kw)
+    np.testing.assert_allclose(Ur, Uc, atol=1e-4)
