@@ -234,7 +234,28 @@ def affine_solve_np(
             settings=settings, extra_obj=diff_cost_fn,
         )
 
-    want_riccati = str(settings.get("method", "")).lower() == "riccati"
+    method_s = str(settings.get("method", "")).lower()
+    want_riccati = method_s == "riccati"
+    if not method_s:
+        # automatic long-horizon routing: the O(N^2) condensation OVERFLOWS
+        # in float32 around N~240 (unstable dynamics compound in Ft; measured
+        # resid=inf in benchmarks/ab_long_horizon_out.txt) exactly where the
+        # O(N) stage-structured path starts winning on throughput too. Route
+        # eligible long-horizon problems to it; anything the riccati path
+        # cannot express (slew, weights, state boxes, cones, smoothing) stays
+        # on the condensed path. Override with settings["method"] either way.
+        auto_N = int(settings.get("riccati_auto_N", 240))
+        eligible = (
+            not np.any(np.asarray(slew_reg) != 0)
+            and not np.any(np.asarray(slew_reg0) != 0)
+            and weights is None and x_l is None and x_u is None
+            and not extra_cstrs and u_soc_r is None and not smooth_cstr
+            and diff_cost_fn is None
+            and str(settings.get("solver", "")).upper()
+            not in ("BFGS", "LBFGS", "CVX", "SQP")
+        )
+        if N >= auto_N and eligible:
+            want_riccati = True
     if want_riccati:
         # O(N) stage-structured path (long horizons); slew/weights need
         # the condensed path

@@ -167,3 +167,38 @@ def test_solve_method_kwarg_top_level():
     Xc, Uc, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), **kw)
     Xr, Ur, _ = pmpc_tpu.solve(f_fn, Q, R, np.ones(xdim), method="riccati", **kw)
     np.testing.assert_allclose(Ur, Uc, atol=1e-4)
+
+
+def test_auto_riccati_long_horizon(monkeypatch):
+    """With no method requested, eligible problems at N >= riccati_auto_N
+    route to the stage-structured path (condensation overflows f32 there);
+    ineligible ones (slew) stay condensed."""
+    import pmpc_tpu.solvers.riccati_ipm as ri
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    calls = []
+    orig = ri.riccati_ipm_solve_np
+    monkeypatch.setattr(ri, "riccati_ipm_solve_np",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+
+    rng = np.random.default_rng(14)
+    M, N, xdim, udim = 2, 8, 3, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=np.full((M, N, udim), -0.5), u_u=np.full((M, N, udim), 0.5),
+        x_l=None, x_u=None, Nc=2)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    # below the threshold: condensed
+    affine_solve_np(*args, **common, settings=dict(riccati_auto_N=100))
+    assert not calls
+    # above it: riccati
+    affine_solve_np(*args, **common, settings=dict(riccati_auto_N=4))
+    assert len(calls) == 1
+    # above it but ineligible (slew): condensed, no raise
+    affine_solve_np(*args, **dict(common, slew_reg=np.full(M, 0.1)),
+                    settings=dict(riccati_auto_N=4))
+    assert len(calls) == 1
