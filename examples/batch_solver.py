@@ -49,7 +49,7 @@ def main():
 
     B = 16 if FAST else 1000
     N, xdim, udim = 8 if FAST else 20, 4, 2
-    max_it = 3 if FAST else 12
+    max_it = 3 if FAST else 32
     rng = np.random.default_rng(0)
     f32 = np.float32
 
@@ -91,8 +91,10 @@ def main():
     _ = float(U.sum())
     dt = time.perf_counter() - t0
     conv = float(np.mean(np.asarray(info["converged"])))
+    res_med = float(np.median(np.asarray(info["resid"])))
     print(f"fused batch:    {B} problems in {dt*1e3:.1f} ms warm "
-          f"({B/dt:.0f} solves/s, {100*conv:.0f}% converged at res_tol)")
+          f"({B/dt:.0f} solves/s, {100*conv:.0f}% converged, "
+          f"median resid {res_med:.1e})")
 
     # -- cross-check problem 0 against the host path ------------------------------
     Xh, Uh, _ = pmpc_tpu.solve(
