@@ -67,3 +67,49 @@ def test_sharded_bounded_ipm():
     X1, U1, _ = one(datas[0])
     np.testing.assert_allclose(np.asarray(Ub[0]), np.asarray(U1), atol=1e-5)
     assert np.asarray(Ub).max() <= 1.0 + 1e-6
+
+
+def test_sharded_soc_ipm():
+    """Per-stage SOC cones under the batch x particle mesh."""
+    B, M, N, xdim, udim = 4, 4, 8, 4, 2
+    mesh = make_mesh(n_batch=4, n_particle=2)
+    solver = build_scp_solver(unicycle_step, N, xdim, udim, M, Nc=2,
+                              max_it=6, res_tol=1e-6, has_u_bounds=True,
+                              has_u_soc=True, jit=False)
+    rng = np.random.default_rng(3)
+    datas = [
+        make_scp_data(
+            rng.normal(size=(M, xdim)),
+            np.tile(np.eye(xdim), (M, N, 1, 1)),
+            np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+            reg_x=1.0, reg_u=0.1,
+            u_l=-np.ones((M, N, udim)), u_u=np.ones((M, N, udim)),
+            u_soc_r=np.full((M, N), 0.9),
+        )
+        for _ in range(B)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    sharded = shard_batched_data(stacked, mesh, shard_particles=True)
+    fn = make_sharded_solver(solver, mesh, shard_particles=True)
+    Xb, Ub, info = fn(sharded)
+    one = jax.jit(solver)
+    X1, U1, _ = one(datas[0])
+    np.testing.assert_allclose(np.asarray(Ub[0]), np.asarray(U1), atol=1e-5)
+    norms = np.linalg.norm(np.asarray(Ub), axis=-1)
+    assert norms.max() <= 0.9 + 1e-4
+
+
+def test_sharded_riccati_method():
+    """The O(N) stage-structured path under the mesh matches single-device."""
+    B, M, N, xdim, udim = 4, 4, 8, 4, 2
+    mesh = make_mesh(n_batch=4, n_particle=2)
+    solver = build_scp_solver(unicycle_step, N, xdim, udim, M, Nc=2,
+                              max_it=6, res_tol=1e-6, has_u_bounds=True,
+                              method="riccati", jit=False)
+    stacked, datas = _batch_data(B, M, N, xdim, udim, bounds=True)
+    sharded = shard_batched_data(stacked, mesh, shard_particles=True)
+    fn = make_sharded_solver(solver, mesh, shard_particles=True)
+    Xb, Ub, info = fn(sharded)
+    one = jax.jit(solver)
+    X1, U1, _ = one(datas[0])
+    np.testing.assert_allclose(np.asarray(Ub[0]), np.asarray(U1), atol=1e-5)
