@@ -306,7 +306,10 @@ def build_scp_solver(
                 s_w = jnp.ones((mtot,), dt)
                 warm0 = (th_w, uf_w, s_w, s_w)
             else:
-                mtot = 2 * nc + 2 * M * nf + 2 * M * (N * xdim)
+                # state rows exist in the IPM's flat layout only when state
+                # bounds are active (see ipm_core)
+                mtot = 2 * nc + 2 * M * nf \
+                    + (2 * M * (N * xdim) if has_x_bounds else 0)
                 s_w = jnp.ones((mtot,), dt)
                 warm0 = (uc_w, uf_w, s_w, s_w)
             if has_u_soc:

@@ -161,15 +161,20 @@ def ipm_core(
         tau = 0.99
     tau = jnp.asarray(tau, dtype=dtype)
     mnf, mnx = M * nf, M * NX
+    # state-bound rows exist in the flat layout ONLY when state bounds are
+    # active (static has_x): for box-only problems they would be ~70% of the
+    # vector width — pure dead weight in every per-iteration elementwise op
+    mnxl = mnx if has_x else 0
     o_chi, o_flo, o_fhi, o_xlo, o_xhi, mtot = (
-        nc, 2 * nc, 2 * nc + mnf, 2 * nc + 2 * mnf, 2 * nc + 2 * mnf + mnx,
-        2 * nc + 2 * mnf + 2 * mnx,
+        nc, 2 * nc, 2 * nc + mnf, 2 * nc + 2 * mnf, 2 * nc + 2 * mnf + mnxl,
+        2 * nc + 2 * mnf + 2 * mnxl,
     )
 
-    lo_flat = jnp.concatenate([
-        bounds.lo_c, bounds.hi_c, bounds.lo_f.reshape(-1), bounds.hi_f.reshape(-1),
-        bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1),
-    ])
+    lo_parts = [bounds.lo_c, bounds.hi_c,
+                bounds.lo_f.reshape(-1), bounds.hi_f.reshape(-1)]
+    if has_x:
+        lo_parts += [bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1)]
+    lo_flat = jnp.concatenate(lo_parts)
     mask = jnp.isfinite(lo_flat)
 
     # -- SOC bookkeeping ---------------------------------------------------------
@@ -224,26 +229,24 @@ def ipm_core(
 
     def slack_vals(uc, uf):
         """s = h - Gz as one flat vector (garbage on masked rows)."""
+        vals = [uc - bounds.lo_c, bounds.hi_c - uc,
+                (uf - bounds.lo_f).reshape(-1), (bounds.hi_f - uf).reshape(-1)]
         if has_x:
             x = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
                 [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
-        else:  # state rows fully masked: skip the (M, NX, NU) matmul
-            x = jnp.zeros((M, NX), dtype=dtype)
-        return jnp.concatenate([
-            uc - bounds.lo_c, bounds.hi_c - uc,
-            (uf - bounds.lo_f).reshape(-1), (bounds.hi_f - uf).reshape(-1),
-            (x - bounds.lo_x).reshape(-1), (bounds.hi_x - x).reshape(-1),
-        ])
+            vals += [(x - bounds.lo_x).reshape(-1),
+                     (bounds.hi_x - x).reshape(-1)]
+        return jnp.concatenate(vals)
 
     def g_dot_z(duc, duf):
-        """G dz as a flat vector (state part only when needed)."""
+        """G dz as a flat vector (state rows only when they exist)."""
+        duf_f = duf.reshape(-1)
+        parts = [-duc, duc, -duf_f, duf_f]
         if has_x:
             dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
                 [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1)).reshape(-1)
-        else:
-            dx = jnp.zeros((mnx,), dtype=dtype)
-        duf_f = duf.reshape(-1)
-        return jnp.concatenate([-duc, duc, -duf_f, duf_f, -dx, dx])
+            parts += [-dx, dx]
+        return jnp.concatenate(parts)
 
     def gT_dot(v):
         """(G' v) split into consensus/free contributions."""
@@ -330,7 +333,7 @@ def ipm_core(
             cqp,
             w[:nc] + w[o_chi:o_flo],
             (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nf),
-            (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX),
+            ((w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX) if has_x else None),
             Ftc, Ftf, has_u=has_u, has_x=has_x,
         )
         if has_soc:
@@ -655,7 +658,7 @@ def ipm_solve_np(
     cand = prev_state.get("ipm_warm") if isinstance(prev_state, dict) else None
     if cand is not None:
         uc_w, uf_w, s_w, lam_w = cand[:4]
-        mtot = 2 * nc + 2 * M * nf + 2 * M * (N * xdim)
+        mtot = 2 * nc + 2 * M * nf + (2 * M * (N * xdim) if has_x else 0)
         if (np.shape(uc_w) == (nc,) and np.shape(uf_w) == (M, nf)
                 and np.shape(s_w) == (mtot,) and np.shape(lam_w) == (mtot,)):
             warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
