@@ -126,12 +126,18 @@ def linearize(dynamics: Callable, X: jax.Array, U: jax.Array):
         f: (..., N, xdim), fx: (..., N, xdim, xdim), fu: (..., N, xdim, udim)
     """
 
+    xdim = X.shape[-1]
+
     def single(x, u):
-        return (
-            dynamics(x, u),
-            jax.jacfwd(dynamics, argnums=0)(x, u),
-            jax.jacfwd(dynamics, argnums=1)(x, u),
-        )
+        # ONE combined jacfwd over z = [x; u] with the primal as aux: a single
+        # trace of the dynamics instead of three (value + two jacfwds) — the
+        # tangent count (xdim + udim) is the same either way
+        def g(z):
+            y = dynamics(z[:xdim], z[xdim:])
+            return y, y
+
+        J, y = jax.jacfwd(g, has_aux=True)(jnp.concatenate([x, u]))
+        return y, J[:, :xdim], J[:, xdim:]
 
     fn = single
     for _ in range(X.ndim - 1):
