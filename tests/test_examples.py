@@ -7,7 +7,8 @@ import sys
 import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EXAMPLES = ["simple_demo.py", "batch_solver.py", "custom_cost.py"]
+EXAMPLES = ["simple_demo.py", "batch_solver.py", "custom_cost.py",
+            "receding_horizon.py"]
 
 
 @pytest.mark.parametrize("script", EXAMPLES)
