@@ -8,7 +8,7 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = ["simple_demo.py", "batch_solver.py", "custom_cost.py",
-            "receding_horizon.py"]
+            "receding_horizon.py", "arbitrary_constraints.py"]
 
 
 @pytest.mark.parametrize("script", EXAMPLES)
