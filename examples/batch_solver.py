@@ -68,6 +68,13 @@ def main():
     dt = time.perf_counter() - t0
     print(f"solve_problems: {n_list} problems in {dt:.2f}s "
           f"(stacked into one vmapped host-loop solve)")
+    rets_fused = pmpc_tpu.solve_problems(problems, fused=True)  # compile
+    t0 = time.perf_counter()
+    rets_fused = pmpc_tpu.solve_problems(problems, fused=True)
+    dt = time.perf_counter() - t0
+    dU = max(float(np.abs(a[1] - b[1]).max()) for a, b in zip(rets, rets_fused))
+    print(f"  fused=True:   {n_list} problems in {dt*1e3:.0f} ms warm "
+          f"(whole SCP loop as ONE device program; |dU|_inf vs host {dU:.1e})")
 
     # -- path 2: fused batch, one device program ---------------------------------
     solver = build_scp_solver(unicycle, N=N, xdim=xdim, udim=udim, M=1, Nc=0,

@@ -85,16 +85,101 @@ def _homogeneous(problems: Sequence[Dict[str, Any]]) -> bool:
     return True
 
 
+_FUSED_CACHE: Dict[Any, Any] = {}
+
+
+def _solve_problems_fused(problems, split):
+    """One fully fused device program for the whole batch: the stacked
+    problems become the particle axis with Nc=0 and the entire SCP loop runs
+    under one jit (`jax_scp.build_scp_solver`) — no host round-trips per
+    iteration. Requires the JAX dynamics protocol (`make_f_fx_fu_fn`) and the
+    fused feature subset; raises otherwise so callers can fall back."""
+    from .jax_scp import build_scp_solver, make_scp_data
+    from .utils import default_dtype
+
+    p0 = problems[0]
+    dyn = getattr(p0.get("f_fx_fu_fn"), "__wrapped_dynamics__", None)
+    if dyn is None:
+        raise ValueError(
+            "fused=True needs the JAX dynamics protocol: build f_fx_fu_fn "
+            "with pmpc_tpu.make_f_fx_fu_fn(step_fn)")
+    ss = dict(p0.get("solver_settings") or {})
+    unsupported = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
+                               "k", "weights", "Hf", "diff_cost_fn")
+                   if ss.get(k) is not None]
+    for k in ("lin_cost_fn", "extra_cstrs_fns", "diff_cost_fn",
+              "filter_method", "return_min_viol"):
+        if p0.get(k):
+            unsupported.append(k)
+    if unsupported:
+        raise ValueError(f"fused=True does not support: {unsupported}")
+
+    st = stack_problems(problems)
+    B = len(problems)
+    Q = np.asarray(st["Q"], np.float64)
+    N, xdim = Q.shape[1], Q.shape[-1]
+    udim = np.asarray(st["R"]).shape[-1]
+    dtype = np.dtype(ss.get("dtype", default_dtype()))
+    slew_rate = float(p0.get("slew_rate", 0.0) or 0.0)
+    u0_slew = p0.get("u0_slew", p0.get("u_slew"))
+    slew_reg0 = float(ss.get("slew_reg0", ss.get("slew_reg", slew_rate))) \
+        if u0_slew is not None else 0.0
+    data = make_scp_data(
+        np.asarray(st["x0"], dtype),
+        np.asarray(st["Q"], dtype), np.asarray(st["R"], dtype),
+        X_ref=st.get("X_ref"), U_ref=st.get("U_ref"),
+        X_prev=st.get("X_prev"), U_prev=st.get("U_prev"),
+        reg_x=float(p0.get("reg_x", 1.0)), reg_u=float(p0.get("reg_u", 1e-2)),
+        slew_reg=slew_rate, slew_reg0=slew_reg0,
+        slew_um1=(np.broadcast_to(np.asarray(u0_slew, dtype), (B, udim))
+                  if u0_slew is not None else None),
+        u_l=st.get("u_l"), u_u=st.get("u_u"),
+        x_l=st.get("x_l"), x_u=st.get("x_u"),
+        dtype=dtype,
+    )
+    has_u = st.get("u_l") is not None or st.get("u_u") is not None
+    has_x = st.get("x_l") is not None or st.get("x_u") is not None
+    max_it = int(p0.get("max_it", 100))
+    res_tol = float(p0.get("res_tol", 1e-5))
+    key = (id(dyn), B, N, xdim, udim, has_u, has_x, max_it, res_tol,
+           str(dtype))
+    solver = _FUSED_CACHE.get(key)
+    if solver is None:
+        solver = build_scp_solver(
+            dyn, N=N, xdim=xdim, udim=udim, M=B, Nc=0,
+            max_it=max_it, res_tol=res_tol,
+            has_u_bounds=has_u, has_x_bounds=has_x)
+        _FUSED_CACHE[key] = solver
+    X, U, info = solver(data)
+    X, U = np.asarray(X), np.asarray(U)
+    base = dict(fused=True, iters=int(np.asarray(info["iters"])),
+                resid=float(np.asarray(info["resid"])),
+                converged=bool(np.asarray(info["converged"])))
+    if not split:
+        return [(X, U, base)]
+    return [(X[i], U[i], dict(base, batch_index=i)) for i in range(B)]
+
+
 def solve_problems(
     problems: List[Dict[str, Any]],
     split: bool = True,
     verbose: bool = False,
+    fused: bool = False,
     **kw,
 ) -> List[Tuple[np.ndarray, np.ndarray, Dict[str, Any]]]:
-    """Solve many problems at once; one stacked device solve when possible."""
+    """Solve many problems at once; one stacked device solve when possible.
+
+    ``fused=True`` additionally runs the whole SCP loop as ONE device program
+    (requires homogeneous problems using the JAX dynamics protocol and the
+    fused feature subset) — the deployment-scale path: thousands of problems
+    per call with no per-iteration host round-trips."""
     problems = [dict(p) for p in problems]
     if len(problems) == 0:
         return []
+    if fused:
+        if not _homogeneous(problems):
+            raise ValueError("fused=True requires homogeneous problems")
+        return _solve_problems_fused(problems, split)
     if not _homogeneous(problems):
         return [solve(**dict(p, verbose=verbose)) for p in problems]
 

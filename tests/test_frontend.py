@@ -169,3 +169,50 @@ def test_remote_farm_scheduler():
     finally:
         proc.terminate()
         proc.wait(timeout=10)
+
+
+def test_solve_problems_fused_matches_host():
+    """fused=True runs the whole batch as one device program; solutions must
+    match the host-loop route to solver tolerance."""
+    from pmpc_tpu.dynamics import make_f_fx_fu_fn
+    import jax.numpy as jnp
+
+    def step(x, u):
+        return jnp.stack([x[0] + 0.1 * x[1], x[1] + 0.1 * u[0]])
+
+    f_fn = make_f_fx_fu_fn(step)
+    N, xdim, udim = 10, 2, 1
+    rng = np.random.default_rng(1)
+    problems = [dict(
+        f_fx_fu_fn=f_fn,
+        Q=np.tile(np.eye(xdim), (N, 1, 1)),
+        R=np.tile(0.1 * np.eye(udim), (N, 1, 1)),
+        x0=rng.normal(size=xdim),
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+        max_it=12, res_tol=1e-5,
+    ) for _ in range(3)]
+    rets_f = pmpc_tpu.solve_problems(problems, fused=True)
+    rets_h = pmpc_tpu.solve_problems(problems, verbose=False)
+    assert len(rets_f) == 3
+    for (Xf, Uf, df), (Xh, Uh, dh) in zip(rets_f, rets_h):
+        assert df["fused"] and df["converged"]
+        np.testing.assert_allclose(Uf, Uh, atol=1e-5)
+
+
+def test_solve_problems_fused_rejects_unsupported():
+    from pmpc_tpu.dynamics import make_f_fx_fu_fn
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    f_fn = make_f_fx_fu_fn(lambda x, u: x + 0.1 * jnp.concatenate([u, u]))
+    p = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(2), (5, 1, 1)),
+             R=np.tile(np.eye(1), (5, 1, 1)), x0=np.ones(2),
+             solver_settings=dict(smooth_cstr="logbarrier", smooth_alpha=10.0))
+    with _pytest.raises(ValueError, match="does not support"):
+        pmpc_tpu.solve_problems([p, p], fused=True)
+    # and a non-protocol callback is rejected with a clear message
+    p2 = dict(p, solver_settings=None)
+    p2["f_fx_fu_fn"] = lambda X, U: (np.zeros((5, 2)),
+                                     np.zeros((5, 2, 2)), np.zeros((5, 2, 1)))
+    with _pytest.raises(ValueError, match="dynamics protocol"):
+        pmpc_tpu.solve_problems([p2, p2], fused=True)
