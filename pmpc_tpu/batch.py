@@ -63,10 +63,20 @@ def _values_equal(a, b) -> bool:
         return a is b
 
 
+_SCALAR_KEYS = ("reg_x", "reg_u", "max_it", "res_tol", "slew_rate",
+                "u0_slew", "u_slew", "time_limit")
+
+
 def _homogeneous(problems: Sequence[Dict[str, Any]]) -> bool:
     p0 = problems[0]
     if np.asarray(p0["x0"]).ndim != 1:
         return False  # already multi-particle: no free axis for stacking
+    ss0 = p0.get("solver_settings", {}) or {}
+    if ss0.get("Nc") not in (None, 0):
+        # the stacked encoding makes the problems the particle axis; any
+        # other consensus horizon (including -1 = full) would COUPLE the
+        # independent problems — solve those serially instead
+        return False
     for p in problems:
         if p.get("f_fx_fu_fn") is not p0.get("f_fx_fu_fn"):
             return False
@@ -75,6 +85,11 @@ def _homogeneous(problems: Sequence[Dict[str, Any]]) -> bool:
             if (a is None) != (b is None):
                 return False
             if a is not None and np.asarray(a).shape != np.asarray(b).shape:
+                return False
+        # scalar kwargs are taken from problem 0 by the stacked solve, so
+        # they must agree across the batch
+        for k in _SCALAR_KEYS:
+            if not _values_equal(p.get(k, None), p0.get(k, None)):
                 return False
         for k in ("lin_cost_fn", "extra_cstrs_fns"):
             if p.get(k, None) is not p0.get(k, None):
@@ -105,10 +120,13 @@ def _solve_problems_fused(problems, split):
             "with pmpc_tpu.make_f_fx_fu_fn(step_fn)")
     ss = dict(p0.get("solver_settings") or {})
     unsupported = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
-                               "k", "weights", "Hf", "diff_cost_fn")
+                               "k", "weights", "Hf", "diff_cost_fn",
+                               "solver", "mu_target")
                    if ss.get(k) is not None]
+    if str(ss.get("method", "condensed")).lower() not in ("condensed",):
+        unsupported.append("method")
     for k in ("lin_cost_fn", "extra_cstrs_fns", "diff_cost_fn",
-              "filter_method", "return_min_viol"):
+              "filter_method", "return_min_viol", "time_limit"):
         if p0.get(k):
             unsupported.append(k)
     if unsupported:
@@ -124,6 +142,9 @@ def _solve_problems_fused(problems, split):
     u0_slew = p0.get("u0_slew", p0.get("u_slew"))
     slew_reg0 = float(ss.get("slew_reg0", ss.get("slew_reg", slew_rate))) \
         if u0_slew is not None else 0.0
+    u_soc_r = ss.get("u_soc_r")
+    if u_soc_r is not None:
+        u_soc_r = np.broadcast_to(np.asarray(u_soc_r, dtype), (B, N))
     data = make_scp_data(
         np.asarray(st["x0"], dtype),
         np.asarray(st["Q"], dtype), np.asarray(st["R"], dtype),
@@ -135,29 +156,46 @@ def _solve_problems_fused(problems, split):
                   if u0_slew is not None else None),
         u_l=st.get("u_l"), u_u=st.get("u_u"),
         x_l=st.get("x_l"), x_u=st.get("x_u"),
+        u_soc_r=u_soc_r,
         dtype=dtype,
     )
     has_u = st.get("u_l") is not None or st.get("u_u") is not None
     has_x = st.get("x_l") is not None or st.get("x_u") is not None
     max_it = int(p0.get("max_it", 100))
     res_tol = float(p0.get("res_tol", 1e-5))
-    key = (id(dyn), B, N, xdim, udim, has_u, has_x, max_it, res_tol,
-           str(dtype))
+    ipm_kw = dict(
+        ipm_iters=int(ss.get("ipm_iters", 20)),
+        ipm_tol_exp=(int(ss["ipm_tol_exp"]) if ss.get("ipm_tol_exp")
+                     is not None else None),
+        ipm_tau=(float(ss["ipm_tau"]) if ss.get("ipm_tau") is not None
+                 else None),
+        adaptive_tol=bool(ss.get("ipm_adaptive_tol", True)),
+    )
+    key = (id(dyn), B, N, xdim, udim, has_u, has_x, u_soc_r is not None,
+           max_it, res_tol, str(dtype), tuple(sorted(ipm_kw.items())))
     solver = _FUSED_CACHE.get(key)
     if solver is None:
         solver = build_scp_solver(
             dyn, N=N, xdim=xdim, udim=udim, M=B, Nc=0,
             max_it=max_it, res_tol=res_tol,
-            has_u_bounds=has_u, has_x_bounds=has_x)
+            has_u_bounds=has_u, has_x_bounds=has_x,
+            has_u_soc=u_soc_r is not None, **ipm_kw)
         _FUSED_CACHE[key] = solver
     X, U, info = solver(data)
     X, U = np.asarray(X), np.asarray(U)
+    resid_m = np.asarray(info["resid_particle"], np.float64)
     base = dict(fused=True, iters=int(np.asarray(info["iters"])),
                 resid=float(np.asarray(info["resid"])),
                 converged=bool(np.asarray(info["converged"])))
     if not split:
+        base["resid_particle"] = resid_m
         return [(X, U, base)]
-    return [(X[i], U[i], dict(base, batch_index=i)) for i in range(B)]
+    # per-problem convergence: each stacked problem is an independent
+    # particle, so report its OWN residual, not the batch max
+    return [(X[i], U[i],
+             dict(base, batch_index=i, resid=float(resid_m[i]),
+                  converged=bool(resid_m[i] < res_tol)))
+            for i in range(B)]
 
 
 def solve_problems(

@@ -151,7 +151,7 @@ def build_scp_solver(
         return jax.vmap(one)(X_, U_prev, data.params)
 
     def iteration(data: SCPData, carry, _):
-        X_prev, U_prev, it, done, resid, warm = carry
+        X_prev, U_prev, it, done, resid, resid_m, warm = carry
         f, fx, fu = linearize_particles(data, X_prev, U_prev)
 
         X_ref, U_ref = data.X_ref, data.U_ref
@@ -258,9 +258,13 @@ def build_scp_solver(
             X, U = recover_XU(cqp, uc, uf, N=N)
 
         dX, dU = X - X_prev, U - U_prev
-        new_resid = jnp.maximum(
-            jnp.max(jnp.linalg.norm(dX, axis=-1)), jnp.max(jnp.linalg.norm(dU, axis=-1))
+        # per-particle residuals (M,) feed the batch API's per-problem
+        # convergence reporting; the solve-wide residual is their max
+        resid_m_new = jnp.maximum(
+            jnp.max(jnp.linalg.norm(dX, axis=-1), axis=-1),
+            jnp.max(jnp.linalg.norm(dU, axis=-1), axis=-1),
         )
+        new_resid = jnp.max(resid_m_new)
         # non-finite subproblem solution: fall back to the previous iterate
         # (per-iteration NaN guard of the reference GPU path, jax_solver.py:151-154)
         bad = ~jnp.isfinite(new_resid)
@@ -275,6 +279,7 @@ def build_scp_solver(
         X_out = jnp.where(freeze, X_prev, X)
         U_out = jnp.where(freeze, U_prev, U)
         resid_out = jnp.where(freeze, resid, new_resid)
+        resid_m_out = jnp.where(freeze, resid_m, resid_m_new)
         it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
         warm_out = jax.tree.map(lambda a, b: jnp.where(freeze, b, a), warm_new, warm) \
             if warm is not None else None
@@ -286,7 +291,8 @@ def build_scp_solver(
                 ys["ipm_failed"] = stats["failed"]
                 ys["ipm_converged"] = stats["converged"]
                 ys["accepted"] = ~freeze
-        return (X_out, U_out, it_out, done | now_done, resid_out, warm_out), ys
+        return (X_out, U_out, it_out, done | now_done, resid_out, resid_m_out,
+                warm_out), ys
 
     @with_matmul_precision("highest")
     def solver(data: SCPData):
@@ -322,13 +328,15 @@ def build_scp_solver(
             data.X_prev, data.U_prev,
             jnp.asarray(0, jnp.int32), jnp.asarray(False),
             jnp.asarray(jnp.inf, dt),
+            jnp.full((M,), jnp.inf, dt),
             warm0,
         )
-        (X, U, it, done, resid, _), ys = lax.scan(
+        (X, U, it, done, resid, resid_m, _), ys = lax.scan(
             partial(iteration, data), carry0, None, length=max_it
         )
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
-        info = dict(iters=it, resid=resid, converged=resid < res_tol)
+        info = dict(iters=it, resid=resid, converged=resid < res_tol,
+                    resid_particle=resid_m)
         if collect_stats:
             info["scan_stats"] = ys
         return X_traj, U, info

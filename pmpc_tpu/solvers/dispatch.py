@@ -46,7 +46,11 @@ def _cone_precision_scope(dtype, device="auto"):
     except Exception:
         plat = "cpu"
     want = "cpu" if device == "auto" else str(device)
-    if np.dtype(dtype) == np.float64 and plat != want:
+    # an EXPLICIT device request is honored regardless of dtype; 'auto' only
+    # pins to CPU for the f64 default (f32 cone programs may stay on the
+    # accelerator)
+    pin = (device != "auto") or np.dtype(dtype) == np.float64
+    if pin and plat != want:
         try:
             stack.enter_context(jax.default_device(jax.devices(want)[0]))
         except RuntimeError:
@@ -107,6 +111,9 @@ def affine_solve_np(
         # k-worst-particle (CVaR) objective: cone epigraph program
         if extra_cstrs:
             raise NotImplementedError("k (CVaR) combined with extra_cstrs is not supported yet")
+        if u_soc_r is not None:
+            # silently dropping the thrust cones would change semantics
+            raise NotImplementedError("k (CVaR) combined with u_soc_r is not supported yet")
         if smooth_cstr:
             # the reference cone path smooths AFTER building the k-worst
             # program (main.jl:242-290); silently hardening the bounds would
@@ -167,6 +174,10 @@ def affine_solve_np(
         # arbitrary cones / cross-particle terminal cost couple variables
         # across particles: dense cone path — f64 like the CVaR branch above
         # (same conditioning-squared argument; override via ``cone_dtype``)
+        if u_soc_r is not None:
+            raise NotImplementedError(
+                "u_soc_r combined with extra_cstrs/Hf is not supported yet: "
+                "encode the thrust cones as extra SOC constraints instead")
         from .extras import cone_solve_with_extras, terminal_cross_cost
         from .reduced import assemble_condensed as _assemble
 
@@ -211,12 +222,13 @@ def affine_solve_np(
     if u_soc_r is not None and (
         diff_cost_fn is not None
         or smooth_cstr == "squareplus"
-        or str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS")
+        or str(settings.get("solver", "")).upper()
+        in ("BFGS", "LBFGS", "CVX", "SQP")
     ):
         raise NotImplementedError(
             "u_soc_r cones are handled by the structured IPM path only; "
-            "they cannot be combined with smooth first-order solves "
-            "(diff_cost_fn / squareplus / BFGS / LBFGS)"
+            "they cannot be combined with smooth solves "
+            "(diff_cost_fn / squareplus / named BFGS/LBFGS/CVX/SQP solvers)"
         )
 
     if diff_cost_fn is not None:

@@ -265,7 +265,7 @@ def ipm_core(
         # skips the eq-solve factorization and typically cuts the iteration
         # count when the active set is stable (the jitted-loop analog of the
         # reference's threaded solver_state, pmpc/scp_mpc.py:366-373)
-        uc0, uf0, warm_s, warm_lam = warm[:4]
+        uc0, uf0, _, warm_lam = warm[:4]  # warm slacks recomputed below
         delta = jnp.asarray(1e-2, dtype)
         # slacks recomputed from the warm PRIMAL against the new bounds (the
         # subproblem changed since the warm point was produced): primal
@@ -532,11 +532,14 @@ def ipm_core(
 
         frozen = done | now_bad
         keep = lambda new, old: jax.tree.map(lambda a, b: jnp.where(frozen, b, a), new, old)
+        # already-done lanes do not count an iteration (the centering phase
+        # runs a fixed fori_loop over possibly-frozen states)
+        it_old = it_count + jnp.where(done, 0, 1).astype(it_count.dtype)
         new_state = IPMState(uc_n, uf_n, s_n, lam_n, sq_n, zq_n, mu_n,
                              jnp.asarray(False), ok | now_done, it_count + 1,
                              badc_n, failed)
         old_state = IPMState(uc, uf, s, lam, sq, zq, mu,
-                             jnp.asarray(False), ok, it_count + 1, badc_n, failed)
+                             jnp.asarray(False), ok, it_old, badc_n, failed)
         merged = keep(new_state, old_state)
         if has_soc:
             # restoration: a breakdown here is usually a cone point crashed
@@ -562,8 +565,14 @@ def ipm_core(
     if mu_target_pos:
         # finish with pure centering steps: Mehrotra's second-order correction
         # hunts mu -> 0 and wobbles around the mu_target point
+        ok_main = state.ok
         state = state._replace(done=state.done & ~state.ok, ok=jnp.asarray(False))
         state = lax.fori_loop(0, 10, make_body(False), state)
+        # a transient breakdown during centering must not latch `failed` for a
+        # solve whose main phase already converged: the frozen iterate is the
+        # previously-converged point, not garbage
+        state = state._replace(failed=state.failed & ~ok_main,
+                               ok=state.ok | (ok_main & ~state.failed))
     failed = state.failed
     if has_soc:
         # iteration-cap exits can leave any primal point; only FEASIBLE
@@ -665,9 +674,20 @@ def ipm_solve_np(
             if has_soc and len(warm) < 6:
                 warm = None  # cone duals missing: cold start
 
+    # inexact-Newton forcing from the SCP residual (same rule as the fused
+    # path's adaptive_tol): early SCP iterations only need loose subproblem
+    # solves — the host loop threads settings["scp_residual"] each iteration
+    tol_dyn = None
+    r_scp = settings.get("scp_residual")
+    if r_scp is not None and np.isfinite(r_scp) \
+            and settings.get("ipm_adaptive_tol", True):
+        r = min(float(r_scp), 1e3)
+        tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
+
     uc, uf, stats = ipm_core(
         cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
         kappa=kappa, mu_target=mu_target, warm=warm,
+        tol_dynamic=tol_dyn,
         socs=socs, has_soc=has_soc,
     )
     X, U = recover_XU(cqp, uc, uf, N=N)

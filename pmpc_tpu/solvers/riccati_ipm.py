@@ -479,12 +479,21 @@ def riccati_ipm_solve_np(
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
     kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
 
+    # inexact-Newton forcing from the SCP residual (same rule as ipm_solve_np)
+    tol_dyn = None
+    r_scp = settings.get("scp_residual")
+    if r_scp is not None and np.isfinite(r_scp) \
+            and settings.get("ipm_adaptive_tol", True):
+        r = min(float(r_scp), 1e3)
+        tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
+
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
         jnp.asarray(np.asarray(u_l, dtype=dtype)),
         jnp.asarray(np.asarray(u_u, dtype=dtype)),
-        Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm)
+        Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
+        tol_dynamic=tol_dyn)
     warm_out = tuple(np.asarray(stats[k]) for k in ("theta", "uf", "s", "lam"))
     data = dict(
         solver_state=dict(riccati_warm=warm_out),

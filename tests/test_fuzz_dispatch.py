@@ -118,3 +118,53 @@ def _run_case(seed):
 @pytest.mark.parametrize("seed", range(101, 115))
 def test_fuzz_consensus_qp_routes(seed):
     _run_case(seed)
+
+
+def test_u_soc_r_unsupported_combinations_raise():
+    """u_soc_r must never be silently dropped: the CVaR and extras branches
+    refuse the combination instead of returning cone-violating controls."""
+    import pytest
+
+    rng = np.random.default_rng(77)
+    M, N, xdim, udim = 2, 5, 3, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=1)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    r = np.full((M, N), 0.5)
+    n_full = N * udim * M + M * N * xdim  # anything nonempty works here
+    ec = (1, [], 0, np.zeros((1, 12)), np.zeros((1, 0)), np.ones(1),
+          np.zeros(12), np.zeros(0))
+    with pytest.raises(NotImplementedError):
+        affine_solve_np(*args, **common, settings=dict(u_soc_r=r, k=1))
+    with pytest.raises(NotImplementedError):
+        affine_solve_np(*args, **common,
+                        settings=dict(u_soc_r=r, extra_cstrs=[ec]))
+    with pytest.raises(NotImplementedError):
+        affine_solve_np(*args, **common,
+                        settings=dict(u_soc_r=r, smooth_cstr="logbarrier",
+                                      smooth_alpha=10.0, solver="CVX"))
+
+
+def test_batch_heterogeneous_scalars_fall_back_to_serial():
+    """Differing scalar kwargs (reg_x) must not be silently overridden by
+    problem 0's values in the stacked route."""
+    import pmpc_tpu
+    from fixtures import double_integrator_f_fx_fu_fn
+
+    f_fn = double_integrator_f_fx_fu_fn()
+    N, xdim, udim = 8, 2, 1
+    base = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(xdim), (N, 1, 1)),
+                R=np.tile(0.1 * np.eye(udim), (N, 1, 1)),
+                x0=np.ones(xdim), max_it=8, res_tol=1e-7)
+    problems = [dict(base, reg_u=0.1), dict(base, reg_u=50.0)]
+    rets = pmpc_tpu.solve_problems(problems, verbose=False)
+    for (X, U, data), p in zip(rets, problems):
+        Xi, Ui, _ = pmpc_tpu.solve(**dict(p, verbose=False))
+        np.testing.assert_allclose(U, Ui, atol=1e-8)
+    # the two solutions must genuinely differ (reg_u=50 damps controls)
+    assert np.abs(rets[0][1] - rets[1][1]).max() > 1e-3
