@@ -331,9 +331,21 @@ def build_scp_solver(
             jnp.full((M,), jnp.inf, dt),
             warm0,
         )
-        (X, U, it, done, resid, resid_m, _), ys = lax.scan(
-            partial(iteration, data), carry0, None, length=max_it
-        )
+        if collect_stats:
+            (X, U, it, done, resid, resid_m, _), ys = lax.scan(
+                partial(iteration, data), carry0, None, length=max_it
+            )
+        else:
+            # early exit: a while_loop stops as soon as every (vmapped) lane
+            # is converged — the scan would keep burning full frozen
+            # iterations up to max_it (a real cost for warm-started
+            # receding-horizon steps that converge in 2-3 iterations)
+            def wcond(carry):
+                return (~carry[3]) & (carry[2] < max_it)
+
+            (X, U, it, done, resid, resid_m, _) = lax.while_loop(
+                wcond, lambda c: iteration(data, c, None)[0], carry0)
+            ys = None
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
         info = dict(iters=it, resid=resid, converged=resid < res_tol,
                     resid_particle=resid_m)

@@ -676,11 +676,15 @@ def ipm_solve_np(
 
     # inexact-Newton forcing from the SCP residual (same rule as the fused
     # path's adaptive_tol): early SCP iterations only need loose subproblem
-    # solves — the host loop threads settings["scp_residual"] each iteration
+    # solves — the host loop threads settings["scp_residual"] each iteration.
+    # An EXPLICIT ipm_tol_exp is a request for that accuracy on every
+    # subproblem (e.g. the reference-parity equal-budget comparisons), so it
+    # disables the forcing unless ipm_adaptive_tol is itself set.
     tol_dyn = None
     r_scp = settings.get("scp_residual")
+    adaptive_dflt = "ipm_tol_exp" not in settings
     if r_scp is not None and np.isfinite(r_scp) \
-            and settings.get("ipm_adaptive_tol", True):
+            and settings.get("ipm_adaptive_tol", adaptive_dflt):
         r = min(float(r_scp), 1e3)
         tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
 

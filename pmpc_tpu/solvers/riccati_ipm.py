@@ -479,11 +479,13 @@ def riccati_ipm_solve_np(
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
     kappa = float(settings.get("ipm_kappa", 0.0 if dtype == np.float64 else 1e-7))
 
-    # inexact-Newton forcing from the SCP residual (same rule as ipm_solve_np)
+    # inexact-Newton forcing from the SCP residual (same rule as ipm_solve_np;
+    # an explicit ipm_tol_exp disables it unless ipm_adaptive_tol is set)
     tol_dyn = None
     r_scp = settings.get("scp_residual")
+    adaptive_dflt = "ipm_tol_exp" not in settings
     if r_scp is not None and np.isfinite(r_scp) \
-            and settings.get("ipm_adaptive_tol", True):
+            and settings.get("ipm_adaptive_tol", adaptive_dflt):
         r = min(float(r_scp), 1e3)
         tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
 
