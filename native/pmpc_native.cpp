@@ -339,6 +339,12 @@ int64_t pmpc_admm_set_b(int64_t h, const double* b) {
 int64_t pmpc_admm_prox_setup(int64_t h, const double* mask) {
   AdmmSolver* s = get(h);
   if (!s) return -1;
+  // a second prox_setup without prox_reset must not stack masks: restore the
+  // un-masked (P, q) from the existing snapshot before applying the new mask
+  if (!s->P_snap.empty()) {
+    s->P = s->P_snap;
+    s->q = s->q_snap;
+  }
   s->P_snap = s->P;
   s->q_snap = s->q;
   for (int64_t i = 0; i < s->n; ++i) s->P[i * s->n + i] += mask[i];

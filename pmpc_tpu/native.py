@@ -47,7 +47,10 @@ def load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # always run make: it is a no-op when the .so is current, and rebuilds a
+    # STALE library when the C++ source changed (a missing-only check once
+    # served a pre-fix binary to the whole test suite)
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)

@@ -113,9 +113,13 @@ def call(
     ctx = zmq.Context()
     sock = ctx.socket(zmq.REQ)
     if blocking:
-        sock.connect(f"tcp://{hostname}:{port}")
-        sock.send(msg)
-        return _decompress(sock.recv())
+        try:
+            sock.connect(f"tcp://{hostname}:{port}")
+            sock.send(msg)
+            return _decompress(sock.recv())
+        finally:
+            sock.close(0)
+            ctx.term()
     sock.setsockopt(zmq.RCVTIMEO, 2000)
     sock.setsockopt(zmq.SNDTIMEO, 2000)
     sock.setsockopt(zmq.LINGER, 0)
@@ -124,10 +128,22 @@ def call(
 
     def poll_fn():
         if sock.poll(1e-4) == zmq.POLLIN:
-            return _decompress(sock.recv())
+            out = _decompress(sock.recv())
+            poll_fn.close()  # fds/IO-threads released on arrival, not gc
+            return out
         return "NOT_ARRIVED_YET"
 
-    poll_fn.sock, poll_fn.ctx = sock, ctx
+    def close():
+        try:
+            sock.close(0)
+        except Exception:
+            pass
+        try:
+            ctx.term()
+        except Exception:
+            pass
+
+    poll_fn.sock, poll_fn.ctx, poll_fn.close = sock, ctx, close
     return poll_fn
 
 
@@ -218,6 +234,8 @@ def precompilation_call(warmup_kind: str = "linear") -> None:
 
 
 def _server(port: int, status_flag: Value, warmup: bool = True) -> None:
+    import threading
+
     ctx = zmq.Context()
     sock = ctx.socket(zmq.REP)
     sock.bind(f"tcp://*:{port}")
@@ -227,13 +245,19 @@ def _server(port: int, status_flag: Value, warmup: bool = True) -> None:
             precompilation_call()
         except Exception:
             pass
-    register_worker(port)
-    last_register = time.time()
-    while True:
-        status_flag.value = time.time()
-        if time.time() - last_register > 10.0:
+
+    def _beat():
+        # liveness from a daemon thread: the main loop can be busy for
+        # minutes inside a single solve (first-call compiles), during which
+        # a loop-updated flag would go stale and the parent watchdog would
+        # kill a perfectly healthy worker mid-solve
+        while True:
+            status_flag.value = time.time()
             register_worker(port)
-            last_register = time.time()
+            time.sleep(5.0)
+
+    threading.Thread(target=_beat, daemon=True).start()
+    while True:
         try:
             raw = sock.recv()
         except zmq.error.Again:
@@ -248,7 +272,22 @@ def _server(port: int, status_flag: Value, warmup: bool = True) -> None:
             result = SUPPORTED_METHODS[method](*args, **kwargs)
         except Exception as e:  # report the exception to the client
             result = e
-        sock.send(_compress(result))
+        try:
+            out = _compress(result)
+        except Exception as e:  # result not serializable: still reply
+            out = _compress(RuntimeError(f"result serialization failed: {e!r}"))
+        try:
+            sock.send(out)
+        except Exception:
+            # a failed send leaves the REP state machine stuck (it must
+            # alternate recv/send): rebuild the socket
+            try:
+                sock.close(0)
+            except Exception:
+                pass
+            sock = ctx.socket(zmq.REP)
+            sock.bind(f"tcp://*:{port}")
+            sock.setsockopt(zmq.RCVTIMEO, 2000)
 
 
 class Server:
@@ -281,9 +320,10 @@ def start_server(port: int = DEFAULT_PORT, warmup: bool = True) -> Server:
 
 
 def rescan_workers(existing: Optional[List[Tuple[str, int]]] = None) -> List[Tuple[str, int]]:
-    workers = scan_workers()
-    if not workers and existing:
-        return existing
+    """Discovered workers MERGED with the caller's explicit list — an explicit
+    list must never be silently replaced by (possibly stale) Redis entries,
+    nor dropped on the all-broken requeue path."""
+    workers = list(dict.fromkeys(list(existing or []) + scan_workers()))
     if not workers:
         workers = [(DEFAULT_HOSTNAME, DEFAULT_PORT)]
     return workers
@@ -324,13 +364,13 @@ def solve_problems(
                 pending.append(idx)
                 done_workers.append(w)
                 try:
-                    fn.sock.close(0)
+                    fn.close()
                 except Exception:
                     pass
         for w in done_workers:
             in_flight.pop(w)
         if not in_flight and pending and all(w in broken for w in workers):
-            workers = rescan_workers()
+            workers = rescan_workers(workers)
             broken.clear()
         time.sleep(1e-3)
     return results

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.linalg import cholesky_factor, cholesky_solve, spd_apply, spd_factor
+from ..ops.linalg import spd_apply, spd_factor
 from ..utils import with_matmul_precision
 
 

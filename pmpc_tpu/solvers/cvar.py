@@ -134,7 +134,6 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
 
     # SOC rows: s = h - G v with s0 = 1 + (w - q'z - c), s_mid = 2 A z,
     # s_last = 1 - (w - q'z - c)
-    p = 2 + nzi
     G = jnp.concatenate([
         -(wv - qv)[:, None, :], -2.0 * Az, (wv - qv)[:, None, :]], axis=1)
     h = jnp.concatenate([
@@ -157,11 +156,9 @@ def _cvar_device(H_per, q_per, c_per, cqp: CondensedQP, k, eps,
                                    kappa=kappa, tol_dynamic=tol_dynamic,
                                    warm=warm)
 
-    w = v[:nz]
-    U = jnp.concatenate([
-        jnp.broadcast_to(w[:nc], (M, nc)),
-        w[nc:nz].reshape(M, nf)], axis=1).reshape(M, N, udim)
-    X = (Xmap @ w + xoff).reshape(M, N, xdim)
+    from .extras import _recover_XU
+
+    X, U = _recover_XU(v[:nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
     return X, U, v[nz:], stats, (v, z)
 
 

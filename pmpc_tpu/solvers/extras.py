@@ -113,7 +113,22 @@ def _canon_extras(extra_cstrs, n_full) -> Tuple[Tuple, Tuple]:
         c_left = np.asarray(c_left, dtype=float).reshape(-1)
         c_right = np.asarray(c_right, dtype=float).reshape(-1)
         qsizes = tuple(int(s) for s in np.asarray(qsizes).reshape(-1))
-        sig.append((int(l), qsizes, int(e)))
+        n_rows = int(l) + sum(qsizes) + 3 * int(e)
+        # under-declared rows would be silently truncated by the slicing
+        # below (and over-declared ones silently ignored) — the solver would
+        # "converge" on the wrong constraint geometry
+        if G_left.shape[0] != n_rows or h.shape[0] != n_rows \
+                or G_right.shape[0] != n_rows:
+            raise ValueError(
+                f"extra constraint declares l={int(l)}, q={qsizes}, "
+                f"e={int(e)} -> {n_rows} rows, but G_left has "
+                f"{G_left.shape[0]}, G_right {G_right.shape[0]}, "
+                f"h {h.shape[0]}")
+        if c_right.size != G_right.shape[1]:
+            raise ValueError(
+                f"extra constraint c_right has {c_right.size} entries for "
+                f"{G_right.shape[1]} auxiliary variables")
+        sig.append((int(l), qsizes, int(e), int(G_right.shape[1])))
         arrays.append((G_left, G_right, h, c_left, c_right))
     return tuple(sig), tuple(arrays)
 
@@ -171,7 +186,7 @@ def _build_program(cqp: CondensedQP, dims, sig, ubounds, xbounds, ecs,
     soc_blocks: List[Tuple[Tuple[int, ...], jnp.ndarray, jnp.ndarray]] = []
     exp_blocks: List[Tuple[jnp.ndarray, jnp.ndarray]] = []
     aux_off = nz
-    for (l, qsizes, e), (G_left, G_right, h, c_left, c_right) in zip(sig, ecs):
+    for (l, qsizes, e, _), (G_left, G_right, h, c_left, c_right) in zip(sig, ecs):
         G_left = jnp.asarray(G_left, dtype)
         G_right = jnp.asarray(G_right, dtype)
         h = jnp.asarray(h, dtype)
@@ -355,7 +370,7 @@ def cone_solve_with_extras(
                None if x_u is None else jnp.asarray(x_u, dtype))
     ecs_j = tuple(tuple(jnp.asarray(a, dtype) for a in ec) for ec in ecs)
 
-    has_exp = any(e for (_, _, e) in sig)
+    has_exp = any(e for (_, _, e, _) in sig)
     if has_exp:
         # exponential cones make the program non-symmetric (the NT-scaled
         # IPM is for symmetric cones): solved by the device central-path

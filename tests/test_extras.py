@@ -282,3 +282,27 @@ def test_exp_device_with_mixed_cone_families():
     assert U_d[0, 0, 1] <= b_lim + 1e-6
     assert np.linalg.norm(U_d[0, 1]) <= 0.8 + 1e-6
     assert np.abs(U_d).max() <= 1.2 + 1e-6
+
+
+def test_extras_row_count_mismatch_raises():
+    """Under/over-declared constraint rows must raise, not silently truncate
+    (the sliced assembly would otherwise 'converge' on the wrong geometry)."""
+    import pytest
+
+    rng = np.random.default_rng(78)
+    M, N, xdim, udim, Nc = 1, 4, 3, 2, 4
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    n_full = N * udim + N * xdim
+    # declares one 3-row SOC but provides only 2 rows
+    bad = (0, [3], 0, np.zeros((2, n_full)), np.zeros((2, 0)), np.zeros(2),
+           np.zeros(n_full), np.zeros(0))
+    with pytest.raises(ValueError, match="rows"):
+        affine_solve_np(
+            p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"],
+            reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+            slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+            slew_um1=np.zeros((M, udim)),
+            u_l=None, u_u=None, x_l=None, x_u=None,
+            Nc=Nc, settings=dict(extra_cstrs=[bad]),
+        )

@@ -114,3 +114,40 @@ def test_admm_persistent_incremental_and_prox():
     assert st3 == 0
     np.testing.assert_allclose(z3, z_ref, atol=1e-7)
     s.close()
+
+
+def test_admm_prox_setup_twice_replaces_mask():
+    """A second prox_setup without prox_reset must REPLACE the mask, not
+    stack it into P (and prox_reset must still restore the original P)."""
+    rng = np.random.default_rng(62)
+    M, N, xdim, udim, Nc = 1, 5, 2, 1, 0
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    P, q, A, b = native.build_canonical(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=1.0, reg_u=0.1, slew_reg=0.0, slew_reg0=0.0,
+        slew_um1=np.zeros((M, udim)), Nc=Nc,
+    )
+    n = P.shape[0]
+    lo = np.full(n, -1e20)
+    hi = np.full(n, 1e20)
+    kw = dict(max_iter=20000, eps=1e-11)
+    v = rng.normal(size=n)
+
+    s = native.AdmmSolver(P, q, A, b, lo, hi)
+    s.prox_setup(np.full(n, 5.0))
+    _ = s.prox_point(v, np.full(n, 5.0), **kw)
+    mask2 = np.full(n, 1.5)
+    s.prox_setup(mask2)  # second setup: must not keep the 5.0 mask
+    zp, stp, _ = s.prox_point(v, mask2, **kw)
+    assert stp == 0
+    z_ref, st_ref, _ = native.admm_box_qp(
+        P + np.diag(mask2), q - mask2 * v, A, b, lo, hi, **kw)
+    assert st_ref == 0
+    np.testing.assert_allclose(zp, z_ref, atol=1e-6)
+    # reset restores the ORIGINAL problem, not P + first mask
+    s.prox_reset()
+    z0, st0, _ = s.solve(**kw)
+    z0_ref, st0c, _ = native.admm_box_qp(P, q, A, b, lo, hi, **kw)
+    assert st0 == 0 and st0c == 0
+    np.testing.assert_allclose(z0, z0_ref, atol=1e-6)
