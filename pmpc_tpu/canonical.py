@@ -158,17 +158,34 @@ def lqp_generate_problem_matrices(
     X_ref, U_ref = atleast_nd(np.asarray(X_ref), 3), atleast_nd(np.asarray(U_ref), 3)
     Nc = int(settings.get("Nc", -1))
     weights = settings.get("weights", None)
+    M = f.shape[0]
+    reg_x = np.broadcast_to(np.asarray(settings.get("reg_x", 0.0), float), (M,))
+    reg_u = np.broadcast_to(np.asarray(settings.get("reg_u", 0.0), float), (M,))
+    slew_reg = np.broadcast_to(
+        np.asarray(settings.get("slew_reg", 0.0), float), (M,))
+    slew_reg0 = np.broadcast_to(
+        np.asarray(settings.get("slew_reg0", 0.0), float), (M,))
+    slew_um1 = settings.get("slew_um1", None)
     if weights is not None:
+        # weights scale ALL per-particle cost terms — including reg and slew
+        # (and, like the reference, the slew anchor) — exactly as the solver
+        # does (reduced.assemble_condensed / main.jl:96-112); exporting only
+        # weighted Q/R would describe a different QP than the one solved
         w = np.asarray(weights, dtype=float)
         w = w / w.sum()
         Q = Q * w[:, None, None, None]
         R = R * w[:, None, None, None]
+        reg_x, reg_u = reg_x * w, reg_u * w
+        slew_reg, slew_reg0 = slew_reg * w, slew_reg0 * w
+        if slew_um1 is not None and bool(
+                settings.get("weights_scale_slew_target", True)):
+            slew_um1 = np.asarray(slew_um1, float) * w[:, None]
     P, q = build_Pq(
         x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
-        reg_x=settings.get("reg_x", 0.0), reg_u=settings.get("reg_u", 0.0),
-        slew_reg=settings.get("slew_reg", 0.0),
-        slew_reg0=settings.get("slew_reg0", 0.0),
-        slew_um1=settings.get("slew_um1", None), Nc=Nc,
+        reg_x=reg_x, reg_u=reg_u,
+        slew_reg=slew_reg,
+        slew_reg0=slew_reg0,
+        slew_um1=slew_um1, Nc=Nc,
     )
     A, b = build_Ab(x0, f, fx, fu, X_prev, U_prev, Nc=Nc)
     G, lo, hi = build_Glu(

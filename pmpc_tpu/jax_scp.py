@@ -166,6 +166,13 @@ def build_scp_solver(
             # O(N) stage-structured consensus solve: no O(N^2) Ft, the
             # consensus Schur complement is a per-particle theta-quadratic sum.
             # 'priccati' runs the sweeps as associative scans (O(log N) depth).
+            # Slew terms are NOT expressible in the stage-separable sweep
+            # (the host dispatch raises for riccati+slew); a silent drop
+            # would return wrong solutions, so poison the result instead —
+            # the NaN contract freezes the iterate and reports not-converged.
+            slew_present = (jnp.max(data.slew_reg) > 0) | \
+                (jnp.max(data.slew_reg0) > 0)
+            poison = jnp.where(slew_present, jnp.nan, 1.0).astype(data.Q.dtype)
             if has_bounds:
                 from .solvers.riccati_ipm import riccati_ipm_solve_scp
 
@@ -202,6 +209,8 @@ def build_scp_solver(
                     X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
                 warm_new = warm
                 stats = None
+            X = X * poison
+            U = U * poison
         else:
             cqp = assemble_condensed(
                 data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
@@ -268,10 +277,11 @@ def build_scp_solver(
         # non-finite subproblem solution: fall back to the previous iterate
         # (per-iteration NaN guard of the reference GPU path, jax_solver.py:151-154)
         bad = ~jnp.isfinite(new_resid)
-        if has_u_soc:
-            # a gave-up cone IPM returns an iterate with NO feasibility
-            # guarantee (it froze mid-solve): reject it — keep the last
-            # accepted iterate, whose solve converged to its tolerance
+        if has_bounds:
+            # a gave-up IPM (box or cone) returns an iterate with NO
+            # feasibility guarantee (it froze mid-solve): reject it — keep
+            # the last accepted iterate, whose solve converged to its
+            # tolerance (mirror of the host loop's ipm_failed contract)
             bad = bad | stats["failed"]
         now_done = (new_resid < res_tol) & ~bad
 

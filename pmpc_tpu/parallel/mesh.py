@@ -55,9 +55,12 @@ def shard_batched_data(data, mesh: Mesh, shard_particles: bool = True):
             return x
         if x.ndim >= 2 and shard_particles:
             spec = P("batch", "particle")
-        elif x.ndim >= 1:
+        elif x.ndim >= 2:
             spec = P("batch")
         else:
+            # fewer than 2 dims cannot be a (B, M, ...) batch array:
+            # replicate (sharding a 1-D non-batch leaf along 'batch' would
+            # hand each shard a different slice of a shared constant)
             spec = P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 

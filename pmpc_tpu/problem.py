@@ -102,6 +102,18 @@ class Problem(Mapping):
         if k in DIM_MAP:
             v = self._check_and_tile(k, v)
         object.__setattr__(self, k, v)
+        if getattr(self, "_defaults_done", False):
+            if k == "X_prev":
+                object.__setattr__(self, "_xprev_user", True)
+            elif k == "x0" and v is not None \
+                    and not getattr(self, "_xprev_user", False):
+                # reference parity (problem_struct.py:88-99): the default
+                # X_prev is x0 tiled over the horizon, so setting x0 AFTER
+                # construction must refresh it — the first linearization
+                # then hovers at x0 instead of the all-zeros trajectory
+                N = self._dims["N"]
+                xp = np.repeat(np.asarray(v)[..., None, :], N, axis=-2)
+                object.__setattr__(self, "X_prev", xp)
 
     def _check_and_tile(self, k, v):
         if v is None:
@@ -132,6 +144,8 @@ class Problem(Mapping):
         self.max_it, self.res_tol, self.verbose = 30, 1e-6, True
         self.slew_rate = None
         self.P = None
+        object.__setattr__(self, "_xprev_user", False)
+        object.__setattr__(self, "_defaults_done", True)
 
     def _tile_for_M(self):
         if self.M is None:

@@ -39,16 +39,19 @@ HIST_FMTS = ("%04d", "%8.3e", "%8.3e", "%8.3e", "%8.3e", "%8.3e")
 # -- affine solve dispatcher -------------------------------------------------------
 
 
+def _bound_given(b) -> bool:
+    """One side of a box bound is in effect (reference drops a side whose
+    array contains NaN — the sentinel encoding, c_interface.jl:56-63)."""
+    if b is None:
+        return False
+    b = np.asarray(b, dtype=float)
+    return b.size > 0 and not np.any(np.isnan(b))
+
+
 def _bounds_present(lo, hi) -> bool:
-    if lo is None or hi is None:
-        return False
-    lo, hi = np.asarray(lo), np.asarray(hi)
-    if lo.size == 0 or hi.size == 0:
-        return False
-    # reference drops bounds entirely if any entry is NaN (c_interface.jl:56-63)
-    if np.any(np.isnan(lo)) or np.any(np.isnan(hi)):
-        return False
-    return True
+    """Either side present activates the group; the absent side is filled
+    with +-inf downstream (one-sided bounds used to be silently DROPPED)."""
+    return _bound_given(lo) or _bound_given(hi)
 
 
 def aff_solve(
@@ -95,10 +98,23 @@ def aff_solve(
 
     has_u_bounds = _bounds_present(u_l, u_u)
     has_x_bounds = _bounds_present(x_l, x_u)
-    u_l = atleast_nd(np.asarray(u_l, dtype=float), 3) if has_u_bounds else None
-    u_u = atleast_nd(np.asarray(u_u, dtype=float), 3) if has_u_bounds else None
-    x_l = atleast_nd(np.asarray(x_l, dtype=float), 3) if has_x_bounds else None
-    x_u = atleast_nd(np.asarray(x_u, dtype=float), 3) if has_x_bounds else None
+
+    def _side(b, shape, fill):
+        if not _bound_given(b):
+            return np.broadcast_to(np.asarray(fill, dtype=float), shape).copy()
+        return np.broadcast_to(
+            atleast_nd(np.asarray(b, dtype=float), 3), shape).copy()
+
+    if has_u_bounds:
+        u_l = _side(u_l, (M, N, udim), -np.inf)
+        u_u = _side(u_u, (M, N, udim), np.inf)
+    else:
+        u_l = u_u = None
+    if has_x_bounds:
+        x_l = _side(x_l, (M, N, xdim), -np.inf)
+        x_u = _side(x_u, (M, N, xdim), np.inf)
+    else:
+        x_l = x_u = None
 
     # slew encoding parity with static_backend.py:262-272 / c_interface.jl:64-70:
     # - slew_rate couples consecutive controls (slew_reg),
@@ -501,5 +517,6 @@ def solve_problems_serial(
     verbose: bool = False,
     **kw,
 ) -> List[Tuple[np.ndarray, np.ndarray, Dict[str, Any]]]:
-    """Serial fallback batch solve (parity with ``pmpc/scp_mpc.py:504-511``)."""
-    return [solve(**dict(p, verbose=verbose)) for p in problems]
+    """Serial fallback batch solve (parity with ``pmpc/scp_mpc.py:504-511``);
+    ``kw`` entries override every problem's settings."""
+    return [solve(**dict(p, verbose=verbose, **kw)) for p in problems]

@@ -35,8 +35,13 @@ class SensProblem(NamedTuple):
     R: jax.Array
     X_ref: jax.Array
     U_ref: jax.Array
-    reg_x: jax.Array
-    reg_u: jax.Array
+    # NOTE: these regs are REF-anchored extra weight in the smoothed
+    # objective, NOT the SCP prox (which anchors at the previous iterate and
+    # whose gradient vanishes at the converged fixed point — the reference's
+    # linear_optimality, root.py:88-142, carries no reg terms at all). Leave
+    # them 0 when analyzing a converged SCP solution.
+    reg_x: jax.Array = 0.0
+    reg_u: jax.Array = 0.0
     u_l: Optional[jax.Array] = None
     u_u: Optional[jax.Array] = None
     x_l: Optional[jax.Array] = None

@@ -16,7 +16,9 @@ import numpy as np
 from .scp import scp_solve
 
 #: score assigned to a failed solve (NaN contract) so it never wins the sweep
-FAILED_SCORE = 1e2
+#: — infinite, not a finite sentinel: a merely-bad residual (> any finite
+#: sentinel) must still beat a reg for which the solve fails outright
+FAILED_SCORE = float("inf")
 
 
 def _final_residual(solve_fn: Callable, args, kwargs) -> float:

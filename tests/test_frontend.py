@@ -216,3 +216,17 @@ def test_solve_problems_fused_rejects_unsupported():
                                      np.zeros((5, 2, 2)), np.zeros((5, 2, 1)))
     with _pytest.raises(ValueError, match="dynamics protocol"):
         pmpc_tpu.solve_problems([p2, p2], fused=True)
+
+
+def test_problem_xprev_tracks_x0():
+    """Setting x0 refreshes the default X_prev (x0 tiled over the horizon,
+    reference parity); an explicit X_prev wins over the refresh."""
+    p = Problem(N=6, xdim=3, udim=1)
+    p.x0 = np.array([2.0, -1.0, 0.5])
+    np.testing.assert_allclose(p.X_prev, np.tile(p.x0, (6, 1)))
+    p.X_prev = np.ones((6, 3))
+    p.x0 = np.zeros(3)  # user X_prev must survive later x0 updates
+    np.testing.assert_allclose(p.X_prev, np.ones((6, 3)))
+    # x0 passed at construction also tiles
+    p2 = Problem(N=4, xdim=2, udim=1, x0=np.array([3.0, 4.0]))
+    np.testing.assert_allclose(p2.X_prev, np.tile([3.0, 4.0], (4, 1)))

@@ -143,3 +143,26 @@ def test_scp_dubins_with_control_bounds():
     assert U.max() <= 1.0 + 1e-6 and U.min() >= -1.0 - 1e-6
     # bounds must actually bind somewhere for this config
     assert (np.abs(np.abs(U) - 1.0) < 1e-4).any()
+
+
+def test_one_sided_bounds_enforced():
+    """A u_u without u_l (and vice versa) must be enforced, not silently
+    dropped (the old both-or-neither check discarded one-sided bounds)."""
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 10, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    Q[:, :2, :2] *= 50.0  # strong position tracking pushes controls hard
+    R = np.tile(1e-3 * np.eye(udim), (N, 1, 1))
+    X_ref = np.tile(np.array([5.0, 5.0, 0.0, 0.0]), (N, 1))
+    kw = dict(X_ref=X_ref, reg_x=1.0, reg_u=0.1, max_it=15, res_tol=1e-6,
+              verbose=False)
+    X0, U0, _ = pmpc_tpu.solve(f_fn, Q, R, np.zeros(xdim), **kw)
+    assert U0.max() > 0.31, "fixture must want controls above the cap"
+    X1, U1, _ = pmpc_tpu.solve(f_fn, Q, R, np.zeros(xdim),
+                               u_u=0.3 * np.ones((N, udim)), **kw)
+    assert U1.max() <= 0.3 + 1e-6
+    X2, U2, _ = pmpc_tpu.solve(f_fn, Q, R, np.zeros(xdim),
+                               u_l=-0.1 * np.ones((N, udim)), **kw)
+    assert U2.min() >= -0.1 - 1e-6
