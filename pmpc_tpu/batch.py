@@ -139,7 +139,9 @@ def _solve_problems_fused(problems, split):
     udim = np.asarray(st["R"]).shape[-1]
     dtype = np.dtype(ss.get("dtype", default_dtype()))
     slew_rate = float(p0.get("slew_rate", 0.0) or 0.0)
-    u0_slew = p0.get("u0_slew", p0.get("u_slew"))
+    # same alias precedence as scp_solve (u_slew overrides u0_slew when the
+    # key is present, even with value None)
+    u0_slew = p0["u_slew"] if "u_slew" in p0 else p0.get("u0_slew")
     slew_reg0 = float(ss.get("slew_reg0", ss.get("slew_reg", slew_rate))) \
         if u0_slew is not None else 0.0
     u_soc_r = ss.get("u_soc_r")
@@ -169,7 +171,12 @@ def _solve_problems_fused(problems, split):
                      is not None else None),
         ipm_tau=(float(ss["ipm_tau"]) if ss.get("ipm_tau") is not None
                  else None),
-        adaptive_tol=bool(ss.get("ipm_adaptive_tol", True)),
+        kappa=(float(ss["ipm_kappa"]) if ss.get("ipm_kappa") is not None
+               else None),
+        # same rule as the host frontends: an explicit ipm_tol_exp disables
+        # the SCP-residual forcing unless ipm_adaptive_tol is itself set
+        adaptive_tol=bool(ss.get("ipm_adaptive_tol",
+                                 "ipm_tol_exp" not in ss)),
     )
     key = (id(dyn), B, N, xdim, udim, has_u, has_x, u_soc_r is not None,
            max_it, res_tol, str(dtype), tuple(sorted(ipm_kw.items())))

@@ -159,20 +159,30 @@ def make_f_fx_fu_fn(dynamics: Callable) -> Callable:
     return f_fx_fu_fn
 
 
-def shorten_horizon(N_new: int, *arrays):
+def shorten_horizon(N_new: int, *arrays, N: int = None):
     """Slice problem arrays to a shorter horizon (parity with
     ``PMPC.jl/src/types.jl:203-237``): each array keeps its first ``N_new``
-    entries along the horizon axis, which is assumed to be axis -2 for
-    (..., N, d) arrays and axis -3 for (..., N, d, d) matrix stacks."""
+    entries along the horizon axis — axis -2 for (..., N, d) arrays, axis -3
+    for (..., N, d, d) matrix stacks.
+
+    Pass the current horizon ``N`` to disambiguate when a square trailing
+    block could be mistaken for a matrix stack (e.g. a (M, N, xdim) vector
+    array with N == xdim would otherwise be sliced along the wrong axis)."""
     out = []
     for a in arrays:
         if a is None:
             out.append(None)
             continue
-        if a.ndim >= 3 and a.shape[-1] == a.shape[-2]:
-            out.append(a[..., :N_new, :, :])
+        if N is None:
+            matrix = a.ndim >= 3 and a.shape[-1] == a.shape[-2]
         else:
-            out.append(a[..., :N_new, :])
+            matrix = (a.ndim >= 3 and a.shape[-1] == a.shape[-2]
+                      and a.shape[-3] == N)
+            if not matrix and a.shape[-2] != N:
+                raise ValueError(
+                    f"array of shape {a.shape} has horizon {N} on neither "
+                    f"axis -2 nor -3")
+        out.append(a[..., :N_new, :, :] if matrix else a[..., :N_new, :])
     return out
 
 

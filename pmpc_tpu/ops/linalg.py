@@ -52,7 +52,9 @@ def _use_host_inverse_factor(n: int) -> bool:
         else:
             on_cpu = jax.default_backend() == "cpu"
     except Exception:
-        on_cpu = True
+        # unknown backend: STAY on the device path — wrongly guessing "cpu"
+        # would route jitted TPU factorizations through a host callback
+        on_cpu = False
     return on_cpu and n > 160
 
 

@@ -263,6 +263,7 @@ def affine_solve_np(
             and weights is None and x_l is None and x_u is None
             and not extra_cstrs and u_soc_r is None and not smooth_cstr
             and diff_cost_fn is None
+            and not float(settings.get("mu_target", 0.0) or 0.0) > 0.0
             and str(settings.get("solver", "")).upper()
             not in ("BFGS", "LBFGS", "CVX", "SQP")
         )
@@ -275,6 +276,10 @@ def affine_solve_np(
             raise NotImplementedError("method='riccati' does not support slew terms")
         if weights is not None:
             raise NotImplementedError("method='riccati' does not support weights")
+        if float(settings.get("mu_target", 0.0) or 0.0) > 0.0:
+            raise NotImplementedError(
+                "method='riccati' does not support mu_target (central-path "
+                "stops need the condensed IPM)")
 
     if want_riccati and has_ineq:
         # u-box bounds only: the stage-structured Mehrotra IPM (riccati_ipm);

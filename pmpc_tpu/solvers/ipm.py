@@ -170,8 +170,18 @@ def ipm_core(
         2 * nc + 2 * mnf + 2 * mnxl,
     )
 
-    lo_parts = [bounds.lo_c, bounds.hi_c,
-                bounds.lo_f.reshape(-1), bounds.hi_f.reshape(-1)]
+    if has_u:
+        lo_parts = [bounds.lo_c, bounds.hi_c,
+                    bounds.lo_f.reshape(-1), bounds.hi_f.reshape(-1)]
+    else:
+        # has_u=False must IGNORE the control bounds entirely (the contract:
+        # static flags compile groups out) — finite entries would otherwise
+        # activate mask rows whose barrier terms box_weighted_K skips,
+        # leaving the Newton system inconsistent with the residual
+        lo_parts = [jnp.full_like(bounds.lo_c, -jnp.inf),
+                    jnp.full_like(bounds.hi_c, -jnp.inf),
+                    jnp.full_like(bounds.lo_f.reshape(-1), -jnp.inf),
+                    jnp.full_like(bounds.hi_f.reshape(-1), -jnp.inf)]
     if has_x:
         lo_parts += [bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1)]
     lo_flat = jnp.concatenate(lo_parts)
@@ -692,6 +702,8 @@ def ipm_solve_np(
         cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
         kappa=kappa, mu_target=mu_target, warm=warm,
         tol_dynamic=tol_dyn,
+        tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
+             else None),
         socs=socs, has_soc=has_soc,
     )
     X, U = recover_XU(cqp, uc, uf, N=N)

@@ -495,7 +495,9 @@ def riccati_ipm_solve_np(
         jnp.asarray(np.asarray(u_l, dtype=dtype)),
         jnp.asarray(np.asarray(u_u, dtype=dtype)),
         Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
-        tol_dynamic=tol_dyn)
+        tol_dynamic=tol_dyn,
+        tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
+             else None))
     warm_out = tuple(np.asarray(stats[k]) for k in ("theta", "uf", "s", "lam"))
     data = dict(
         solver_state=dict(riccati_warm=warm_out),

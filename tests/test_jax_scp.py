@@ -93,3 +93,32 @@ def test_jitted_scp_per_particle_params():
     X, U, info = solver(data)
     assert np.ptp(np.asarray(U)[:, :4, :], axis=0).max() < 1e-10
     assert np.ptp(np.asarray(U)[:, 4:, :], axis=0).max() > 1e-8
+
+
+def test_has_u_bounds_false_ignores_finite_bound_arrays():
+    """The static has_u_bounds=False contract: finite bound arrays in SCPData
+    are IGNORED (they used to activate mask rows whose barrier terms the
+    Newton matrix skipped, stalling the IPM)."""
+    import jax
+
+    from fixtures import unicycle_step
+
+    N, xdim, udim, M = 8, 4, 2, 2
+    d = make_scp_data(
+        np.ones((M, xdim)),
+        np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        reg_x=1.0, reg_u=0.1,
+        # tiny bounds that WOULD bind hard if they were enforced
+        u_l=-1e-3 * np.ones((M, N, udim)), u_u=1e-3 * np.ones((M, N, udim)),
+        x_l=-np.ones((M, N, xdim)), x_u=np.ones((M, N, xdim)),
+    )
+    s = build_scp_solver(unicycle_step, N=N, xdim=xdim, udim=udim, M=M, Nc=2,
+                         max_it=8, res_tol=1e-6, has_u_bounds=False,
+                         has_x_bounds=True, jit=False)
+    X, U, info = jax.jit(s)(d)
+    U = np.asarray(U)
+    assert np.isfinite(U).all()
+    assert np.abs(U).max() > 1e-2, "u bounds must be ignored when has_u=False"
+    # the x bounds ARE active
+    assert np.asarray(X)[:, 1:].max() <= 1.0 + 1e-4
