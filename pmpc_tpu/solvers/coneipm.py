@@ -141,7 +141,10 @@ def cone_host_setup(settings, dtype, sig_key, warm_name,
     tol_eff = 10.0 ** tol_exp
     tol_dyn = None
     r = settings.get("scp_residual", None)
-    if bool(settings.get("ipm_adaptive_tol", True)) and r is not None \
+    # same rule as ipm_solve_np / riccati_ipm_solve_np: an EXPLICIT
+    # ipm_tol_exp disables the forcing unless ipm_adaptive_tol is itself set
+    adaptive_dflt = "ipm_tol_exp" not in settings
+    if bool(settings.get("ipm_adaptive_tol", adaptive_dflt)) and r is not None \
             and _np.isfinite(r):
         tol_dyn = float(_np.clip(1e-3 * r * r, 0.0, 1e-3))
         tol_eff = max(tol_eff, tol_dyn)
