@@ -130,6 +130,8 @@ def build_scp_solver(
         solver(data: SCPData) -> (X (M,N+1,xdim), U (M,N,udim), info dict)
     """
     Nc = Nc if Nc >= 0 else N
+    if M == 1:
+        Nc = 0  # single particle: consensus is a no-op; keep stage structure
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
     if method not in ("condensed", "riccati", "priccati"):
         raise ValueError(f"unknown method {method!r}")

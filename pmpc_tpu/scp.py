@@ -131,6 +131,14 @@ def aff_solve(
 
     Nc = int(ss.get("Nc", -1))
     Nc = Nc if Nc >= 0 else N
+    if M == 1:
+        # single particle: consensus is semantically a no-op (controls shared
+        # with themselves), but the Nc=0 LAYOUT keeps the per-particle block
+        # (condensed) / per-stage structure (riccati) instead of one dense
+        # consensus block over all N*udim controls — for the O(N) long-
+        # horizon path this is the difference between working and a dense
+        # theta solve over the whole horizon
+        Nc = 0
 
     X, U, data = affine_solve_np(
         x0=x0.astype(dtype),

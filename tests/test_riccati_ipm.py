@@ -202,3 +202,23 @@ def test_auto_riccati_long_horizon(monkeypatch):
     affine_solve_np(*args, **dict(common, slew_reg=np.full(M, 0.1)),
                     settings=dict(riccati_auto_N=4))
     assert len(calls) == 1
+
+
+def test_long_horizon_default_settings_solves():
+    """solve() with DEFAULT settings (Nc=-1) at N past the condensation
+    overflow: M=1 normalizes consensus to Nc=0 and the auto riccati route
+    returns a finite bounded solution (this exact call used to return the
+    (None, None, None) failure triple — full consensus made the theta block
+    span the whole horizon)."""
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 240, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    X, U, d = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim), max_it=2, res_tol=1e-6, verbose=False,
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)))
+    assert X is not None and np.isfinite(U).all()
+    assert np.abs(U).max() <= 1.0 + 1e-6
