@@ -47,6 +47,7 @@ try:
 except ModuleNotFoundError:
     redis = None
 
+from .batch import solve_problems as batch_solve_problems
 from .canonical import lqp_generate_problem_matrices
 from .scp import solve as solve_, scp_solve
 from .tune import tune_scp as tune_scp_
@@ -55,6 +56,9 @@ SUPPORTED_METHODS: Dict[str, Callable] = dict(
     solve=solve_,
     tune_scp=tune_scp_,
     lqp_generate_problem_matrices=lqp_generate_problem_matrices,
+    # whole-batch solve in one request: a worker owning a chip serves the
+    # stacked (or fused=True) batch as one device program
+    solve_problems=batch_solve_problems,
 )
 
 DEFAULT_PORT = 65535 - 7117

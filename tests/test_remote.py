@@ -10,7 +10,8 @@ import pytest
 
 zmq = pytest.importorskip("zmq")
 
-PORT = 58399
+PORT = 58000 + (os.getpid() % 1000)  # unique per run: a leaked server from
+# an aborted previous run must not answer this run's requests
 
 
 @pytest.fixture(scope="module")
@@ -77,3 +78,19 @@ def test_remote_nonblocking_poll(farm):
     assert not isinstance(ret, str), "poll never completed"
     X, U, data = ret
     assert U.shape == (8, 1)
+
+
+def test_remote_solve_problems_batch(farm):
+    """A single farm request can carry a whole batch (solve_problems)."""
+    from pmpc_tpu import remote
+
+    problems = [_problem() for _ in range(3)]
+    for i, p in enumerate(problems):
+        p["x0"] = p["x0"] + 0.1 * i
+    ret = remote.call("solve_problems", "localhost", PORT, True, problems)
+    assert not isinstance(ret, Exception), ret
+    assert len(ret) == 3
+    import pmpc_tpu
+    for (X, U, data), p in zip(ret, problems):
+        X_l, U_l, _ = pmpc_tpu.solve(**p)
+        np.testing.assert_allclose(U, U_l, atol=1e-4)
