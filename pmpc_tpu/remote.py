@@ -394,6 +394,13 @@ def main():  # pragma: no cover - exercised via subprocess in tests
     if get_start_method(allow_none=True) is None:
         set_start_method("spawn")
 
+    # SIGTERM must run atexit so the daemon worker processes are reaped —
+    # the default handler exits without cleanup and ORPHANS them (observed:
+    # a day-old leaked worker answering a fresh test run's requests)
+    import signal
+
+    signal.signal(signal.SIGTERM, lambda *a: sys.exit(0))
+
     servers = {}
     next_port = args.port
     for _ in range(args.worker_num):
