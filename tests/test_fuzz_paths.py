@@ -97,3 +97,48 @@ def _run_case(seed):
 @pytest.mark.parametrize("seed", range(200, 212))
 def test_host_vs_fused_paths_agree(seed):
     _run_case(seed)
+
+
+def _run_soc_case(seed):
+    rng = np.random.default_rng(seed)
+    M = int(rng.integers(1, 3))
+    N = int(rng.integers(4, 9))
+    Nc = int(rng.integers(0, 3))
+    xdim, udim = 4, 2
+    max_it = int(rng.integers(2, 4))
+    r = float(rng.uniform(0.3, 0.8))
+
+    f_fn = make_f_fx_fu_fn(_step)
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    x0 = np.ones((M, xdim)) + 0.1 * rng.normal(size=(M, xdim))
+    u_l = -np.ones((M, N, udim))
+    u_u = np.ones((M, N, udim))
+    soc = np.full((M, N), r)
+
+    Xh, Uh, dh = pmpc_tpu.solve(
+        f_fn, Q, R, x0, u_l=u_l, u_u=u_u,
+        reg_x=1.0, reg_u=0.1, max_it=max_it, res_tol=0.0, verbose=False,
+        solver_settings=dict(Nc=Nc, u_soc_r=soc, ipm_tol_exp=-10,
+                             ipm_iters=80),
+    )
+    assert Xh is not None
+
+    data = make_scp_data(x0, Q, R, reg_x=1.0, reg_u=0.1,
+                         u_l=u_l, u_u=u_u, u_soc_r=soc, dtype=np.float64)
+    s = build_scp_solver(
+        _step, N=N, xdim=xdim, udim=udim, M=M, Nc=Nc,
+        max_it=max_it, res_tol=0.0, has_u_bounds=True, has_u_soc=True,
+        ipm_iters=80, ipm_tol_exp=-10, adaptive_tol=False, jit=False)
+    Xf, Uf, info = jax.jit(s)(data)
+    dU = float(np.max(np.abs(np.asarray(Uf) - Uh)))
+    norms = np.linalg.norm(np.asarray(Uf), axis=-1)
+    assert norms.max() <= r + 1e-6, f"seed {seed}: cone violated"
+    assert dU < 1e-4, (
+        f"seed {seed} (M={M} N={N} Nc={Nc} r={r:.2f} its={max_it}): "
+        f"|dU|_inf = {dU:.2e}")
+
+
+@pytest.mark.parametrize("seed", range(300, 308))
+def test_host_vs_fused_soc_agree(seed):
+    _run_soc_case(seed)
