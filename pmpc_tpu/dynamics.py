@@ -153,7 +153,10 @@ def make_f_fx_fu_fn(dynamics: Callable) -> Callable:
         return linearize(dynamics, X, U)
 
     def f_fx_fu_fn(X, U):
-        return _lin(jnp.asarray(X), jnp.asarray(U))
+        # one device->host transfer for (f, fx, fu): the host SCP loop pulls
+        # each output separately otherwise — three blocking round trips per
+        # iteration through a remote-TPU tunnel
+        return jax.device_get(_lin(jnp.asarray(X), jnp.asarray(U)))
 
     f_fx_fu_fn.__wrapped_dynamics__ = dynamics
     return f_fx_fu_fn

@@ -707,15 +707,23 @@ def ipm_solve_np(
         socs=socs, has_soc=has_soc,
     )
     X, U = recover_XU(cqp, uc, uf, N=N)
-    warm_out = [np.asarray(uc), np.asarray(uf),
-                np.asarray(stats["s"]), np.asarray(stats["lam"])]
+    # ONE device->host transfer for everything: each separate np.asarray on a
+    # device array is a blocking round trip (~27 ms through a remote-TPU
+    # tunnel), and this function used to make ten of them per SCP iteration
+    pull = [X, U, uc, uf, stats["s"], stats["lam"],
+            stats["mu"], stats["iters"], stats["converged"], stats["failed"]]
     if has_soc:
-        warm_out += [np.asarray(stats["sq"]), np.asarray(stats["zq"])]
+        pull += [stats["sq"], stats["zq"]]
+    pulled = jax.device_get(pull)
+    X, U, uc_h, uf_h, s_h, lam_h, mu_h, it_h, conv_h, fail_h = pulled[:10]
+    warm_out = [uc_h, uf_h, s_h, lam_h]
+    if has_soc:
+        warm_out += [pulled[10], pulled[11]]
     data = dict(
         solver_state=dict(ipm_warm=tuple(warm_out)),
-        ipm_mu=float(stats["mu"]),
-        ipm_iters=int(stats["iters"]),
-        ipm_converged=bool(stats["converged"]),
-        ipm_failed=bool(stats["failed"]),
+        ipm_mu=float(mu_h),
+        ipm_iters=int(it_h),
+        ipm_converged=bool(conv_h),
+        ipm_failed=bool(fail_h),
     )
     return np.asarray(X), np.asarray(U), data

@@ -498,13 +498,18 @@ def riccati_ipm_solve_np(
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
              else None))
-    warm_out = tuple(np.asarray(stats[k]) for k in ("theta", "uf", "s", "lam"))
+    # one device->host transfer (see ipm_solve_np): per-array pulls are
+    # blocking round trips through a remote-TPU tunnel
+    (X, U, th_h, uf_h, s_h, lam_h, mu_h, it_h, conv_h, fail_h) = \
+        jax.device_get([X, U, stats["theta"], stats["uf"], stats["s"],
+                        stats["lam"], stats["mu"], stats["iters"],
+                        stats["converged"], stats["failed"]])
     data = dict(
-        solver_state=dict(riccati_warm=warm_out),
-        ipm_mu=float(stats["mu"]),
-        ipm_iters=int(stats["iters"]),
-        ipm_converged=bool(stats["converged"]),
-        ipm_failed=bool(stats["failed"]),
+        solver_state=dict(riccati_warm=(th_h, uf_h, s_h, lam_h)),
+        ipm_mu=float(mu_h),
+        ipm_iters=int(it_h),
+        ipm_converged=bool(conv_h),
+        ipm_failed=bool(fail_h),
     )
     return np.asarray(X), np.asarray(U), data
 
