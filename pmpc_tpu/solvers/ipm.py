@@ -637,6 +637,25 @@ def layout_socs(u_soc_r, M, N, Nc, dtype) -> SocSpec:
     return SocSpec(r_c=jnp.asarray(r[0, :Nc]), r_f=jnp.asarray(r[:, Nc:]))
 
 
+@partial(jax.jit, static_argnames=("Nc", "scale_slew_target", "N", "has_u",
+                                   "has_x", "has_soc", "iters", "tol_exp",
+                                   "kappa", "mu_target", "tau"))
+def _host_box_solve(base_args, reg_args, bounds, socs, warm, tol_dyn,
+                    weights, Nc, scale_slew_target, N, has_u, has_x,
+                    has_soc, iters, tol_exp, kappa, mu_target, tau):
+    """assemble + IPM + recover as ONE compiled program: the host loop pays
+    one dispatch per subproblem instead of three (each dispatch is a ~27 ms
+    round trip through a remote-TPU tunnel)."""
+    cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights,
+                             scale_slew_target=scale_slew_target)
+    uc, uf, stats = ipm_core(
+        cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
+        kappa=kappa, mu_target=mu_target, warm=warm, tol_dynamic=tol_dyn,
+        tau=tau, socs=socs, has_soc=has_soc)
+    X, U = recover_XU(cqp, uc, uf, N=N)
+    return X, U, uc, uf, stats
+
+
 def ipm_solve_np(
     base_args, reg_args, u_l, u_u, x_l, x_u,
     Nc: int,
@@ -651,9 +670,6 @@ def ipm_solve_np(
     xdim = f.shape[-1]
     dtype = np.dtype(np.asarray(f).dtype)
 
-    cqp = assemble_condensed(
-        *base_args, *reg_args, Nc=Nc, weights=weights,
-        scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))
     nc, nf = Nc * udim, (N - Nc) * udim
     bounds = _layout_bounds(u_l, u_u, x_l, x_u, M, N, N * xdim, nc, nf, udim, dtype)
 
@@ -698,15 +714,19 @@ def ipm_solve_np(
         r = min(float(r_scp), 1e3)
         tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
 
-    uc, uf, stats = ipm_core(
-        cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
-        kappa=kappa, mu_target=mu_target, warm=warm,
-        tol_dynamic=tol_dyn,
+    X, U, uc, uf, stats = _host_box_solve(
+        tuple(jnp.asarray(a) for a in base_args),
+        tuple(jnp.asarray(a) for a in reg_args),
+        bounds, socs, warm, tol_dyn,
+        jnp.asarray(weights, dtype) if weights is not None else None,
+        Nc=Nc,
+        scale_slew_target=bool(
+            settings.get("weights_scale_slew_target", True)),
+        N=N, has_u=has_u, has_x=has_x, has_soc=has_soc,
+        iters=iters, tol_exp=tol_exp, kappa=kappa, mu_target=mu_target,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
              else None),
-        socs=socs, has_soc=has_soc,
     )
-    X, U = recover_XU(cqp, uc, uf, N=N)
     # ONE device->host transfer for everything: each separate np.asarray on a
     # device array is a blocking round trip (~27 ms through a remote-TPU
     # tunnel), and this function used to make ten of them per SCP iteration
