@@ -230,3 +230,19 @@ def test_problem_xprev_tracks_x0():
     # x0 passed at construction also tiles
     p2 = Problem(N=4, xdim=2, udim=1, x0=np.array([3.0, 4.0]))
     np.testing.assert_allclose(p2.X_prev, np.tile([3.0, 4.0], (4, 1)))
+
+
+def test_warmup_cli_smoke():
+    import subprocess
+    import sys as _sys
+    import os as _os
+
+    env = dict(_os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               PMPC_TPU_NO_CACHE="1")
+    r = subprocess.run(
+        [_sys.executable, "-m", "pmpc_tpu.warmup",
+         "--N", "6", "--M", "1", "--max-it", "2", "--bounded"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "warm" in r.stdout
