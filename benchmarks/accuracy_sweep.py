@@ -47,7 +47,7 @@ def build(cfg, dtype):
     Q = np.tile(np.eye(xdim, dtype=dtype), (M, N, 1, 1))
     R = np.tile((1e-2 * np.eye(udim)).astype(dtype), (M, N, 1, 1))
     kw = dict(reg_x=1.0, reg_u=0.1)
-    skw = dict(Nc=Nc, max_it=40, res_tol=1e-5, ipm_iters=25,
+    skw = dict(Nc=Nc, max_it=120, res_tol=1e-5, ipm_iters=25,
                ipm_tol_exp=-9 if dtype == np.float64 else -6)
     if cfg["kind"] in ("box", "soc"):
         kw.update(u_l=-np.ones((M, N, udim), dtype),
@@ -68,7 +68,7 @@ def build(cfg, dtype):
 def ref_path(cfg):
     key = "_".join(f"{k}{cfg[k]}" for k in
                    ("N", "M", "Nc", "kind", "seed"))
-    return os.path.join(REF_DIR, f"u64_{key}.npy")
+    return os.path.join(REF_DIR, f"u64_{key}.npz")
 
 
 def run_ref(cfg):
@@ -78,8 +78,9 @@ def run_ref(cfg):
     solver, data = build(cfg, np.float64)
     X, U, info = solver(data)
     os.makedirs(REF_DIR, exist_ok=True)
-    np.save(ref_path(cfg), np.asarray(U, np.float64))
-    print(f"  ref resid {float(info['resid']):.1e}", flush=True)
+    resid = float(info["resid"])
+    np.savez(ref_path(cfg), U=np.asarray(U, np.float64), resid=resid)
+    print(f"  ref resid {resid:.1e}", flush=True)
 
 
 def main():
@@ -106,12 +107,22 @@ def main():
                  "--ref-config", json.dumps(cfg)],
                 check=True, env=env)
 
-    bad = 0
+    bad = skipped = 0
     for cfg in cfgs:
+        ref = np.load(ref_path(cfg))
+        U64, ref_resid = ref["U"], float(ref["resid"])
+        if ref_resid > 1e-4:
+            # the f64 run did not CONVERGE within the budget: comparing two
+            # mid-trajectory iterates measures path divergence, not solver
+            # accuracy (the BASELINE contract is vs CONVERGED controls)
+            skipped += 1
+            print(f"  N={cfg['N']:3d} M={cfg['M']} Nc={cfg['Nc']} "
+                  f"{cfg['kind']:9s}: SKIPPED (ref not converged, "
+                  f"resid {ref_resid:.1e})", flush=True)
+            continue
         solver, data = build(cfg, np.float32)
         X, U, info = solver(data)
         U32 = np.asarray(U, np.float64)
-        U64 = np.load(ref_path(cfg))
         err = float(np.abs(U32 - U64).max())
         ok = err <= 1e-3
         bad += 0 if ok else 1
@@ -119,7 +130,8 @@ def main():
               f"{cfg['kind']:9s}: |U32-U64|_inf = {err:.2e}  "
               f"resid={float(np.asarray(info['resid'])):.1e}  "
               f"{'ok' if ok else 'VIOLATION'}", flush=True)
-    print(f"{args.k - bad}/{args.k} within 1e-3")
+    print(f"{args.k - bad - skipped}/{args.k - skipped} within 1e-3 "
+          f"({skipped} skipped: reference not converged in budget)")
     sys.exit(0 if bad == 0 else 1)
 
 
