@@ -65,10 +65,15 @@ def build(cfg, dtype):
     return solver, data
 
 
+#: solver-budget tag baked into the cache filename: stale references solved
+#: under a DIFFERENT budget must never be compared against
+_SOLVER_TAG = "mi120_ii25_te9"
+
+
 def ref_path(cfg):
     key = "_".join(f"{k}{cfg[k]}" for k in
                    ("N", "M", "Nc", "kind", "seed"))
-    return os.path.join(REF_DIR, f"u64_{key}.npz")
+    return os.path.join(REF_DIR, f"u64_{key}_{_SOLVER_TAG}.npz")
 
 
 def run_ref(cfg):

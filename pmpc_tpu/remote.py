@@ -56,9 +56,11 @@ SUPPORTED_METHODS: Dict[str, Callable] = dict(
     solve=solve_,
     tune_scp=tune_scp_,
     lqp_generate_problem_matrices=lqp_generate_problem_matrices,
-    # whole-batch solve in one request: a worker owning a chip serves the
-    # stacked (or fused=True) batch as one device program
-    solve_problems=batch_solve_problems,
+    # whole-batch solve in ONE request served by ONE worker (the stacked or
+    # fused=True device program) — named solve_batch to avoid colliding with
+    # remote.solve_problems, the multi-worker scheduler that fans out
+    # per-problem requests
+    solve_batch=batch_solve_problems,
 )
 
 DEFAULT_PORT = 65535 - 7117

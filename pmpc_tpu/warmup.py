@@ -6,7 +6,8 @@ makes first compiles a one-time cost per machine; this tool pays that cost
 up front for the caller's production shapes so the first REAL solve is warm:
 
     python -m pmpc_tpu.warmup --N 30 --M 32 --Nc 5 --max-it 8 --bounded \
-        [--soc] [--batch 64] [--fused/--host]
+        [--soc] [--batch 64]          # fused path (default)
+    python -m pmpc_tpu.warmup --N 30 --bounded --host   # host-loop programs
 
 Without arguments it runs a small option sweep over {eq, box, SOC} x
 {host, fused} on toy shapes (the reference precompile workload's role).
@@ -100,6 +101,8 @@ def main():
 
     t0 = time.time()
     if args.N is not None:
+        if args.host and args.batch:
+            ap.error("--batch applies to the fused path only (drop --host)")
         if args.host:
             warm_host(args.N, args.M, args.Nc, args.max_it,
                       args.bounded, args.soc)

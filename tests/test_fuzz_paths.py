@@ -36,7 +36,7 @@ def _run_case(seed):
     xdim, udim = 4, 2
     max_it = int(rng.integers(2, 5))
     bounds = str(rng.choice(["none", "u", "u_onesided", "ux"]))
-    use_slew = bool(rng.integers(2)) and M > 0
+    use_slew = bool(rng.integers(2))
     use_slew0 = bool(rng.integers(2))
 
     f_fn = make_f_fx_fu_fn(_step)
@@ -74,9 +74,7 @@ def _run_case(seed):
         slew_reg=slew_rate,
         slew_reg0=(slew_rate if u0_slew is not None else 0.0),
         slew_um1=(np.tile(u0_slew, (M, 1)) if u0_slew is not None else None),
-        u_l=(np.full((M, N, udim), -np.inf) if u_l is None and u_u is not None
-             else u_l),
-        u_u=u_u, x_l=x_l, x_u=x_u,
+        u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
         dtype=np.float64,
     )
     s = build_scp_solver(

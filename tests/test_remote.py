@@ -10,8 +10,9 @@ import pytest
 
 zmq = pytest.importorskip("zmq")
 
-PORT = 58000 + (os.getpid() % 1000)  # unique per run: a leaked server from
-# an aborted previous run must not answer this run's requests
+PORT = 23000 + (os.getpid() % 1000)  # unique per run (a leaked server from an
+# aborted previous run must not answer this run) and OUTSIDE the Linux
+# ephemeral range 32768-60999 (an outgoing connection could occupy the port)
 
 
 @pytest.fixture(scope="module")
@@ -84,10 +85,13 @@ def test_remote_solve_problems_batch(farm):
     """A single farm request can carry a whole batch (solve_problems)."""
     from pmpc_tpu import remote
 
-    problems = [_problem() for _ in range(3)]
-    for i, p in enumerate(problems):
-        p["x0"] = p["x0"] + 0.1 * i
-    ret = remote.call("solve_problems", "localhost", PORT, True, problems)
+    # ONE shared f_fx_fu_fn: homogeneity compares callbacks by identity
+    # (cloudpickle memoizes, so identity survives the wire) — distinct
+    # closures would silently take the serial fallback instead of the
+    # stacked whole-batch path this test exists to cover
+    base = _problem()
+    problems = [dict(base, x0=base["x0"] + 0.1 * i) for i in range(3)]
+    ret = remote.call("solve_batch", "localhost", PORT, True, problems)
     assert not isinstance(ret, Exception), ret
     assert len(ret) == 3
     import pmpc_tpu
