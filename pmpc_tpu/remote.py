@@ -85,20 +85,38 @@ def _decompress(buf: bytes):
     return serializer.loads(zstandard.decompress(buf))
 
 
-REGISTERED_FUNCTIONS_CACHE: Dict[bytes, "RegisteredFunction"] = {}
+_FN_REGISTRY: Dict[str, Callable] = {}
+
+
+def register_fn(fn: Callable) -> "RegisteredFunction":
+    """Wrap a callback so that repeat messages shipping the same function
+    dispatch to the live object already known to the worker (role of the
+    reference's function-hash cache, ``pmpc/remote.py:44-55``)."""
+    return RegisteredFunction(fn)
 
 
 class RegisteredFunction:
-    """A function carrying its own pickle-hash so remote workers can reference
-    a previously shipped callable instead of re-deserializing it (parity with
-    ``pmpc/remote.py:44-55``)."""
+    """Callable wrapper keyed by the sha256 digest of its serialized payload.
+
+    On the worker, the first call installs the deserialized function into the
+    module-level registry under its digest; later wrappers with the same
+    digest (e.g. the same user callback shipped in every SCP message) reuse
+    that live object instead of paying deserialization again.
+    """
+
+    __slots__ = ("fn", "digest")
 
     def __init__(self, fn: Callable) -> None:
-        self.fn, self.hash = fn, serializer.dumps(fn)
+        import hashlib
+
+        self.fn = fn
+        self.digest = hashlib.sha256(serializer.dumps(fn)).hexdigest()
 
     def __call__(self, *args, **kwargs):
-        cached = REGISTERED_FUNCTIONS_CACHE.setdefault(self.hash, self)
-        return cached.fn(*args, **kwargs)
+        live = _FN_REGISTRY.get(self.digest)
+        if live is None:
+            _FN_REGISTRY[self.digest] = live = self.fn
+        return live(*args, **kwargs)
 
 
 # -- client ------------------------------------------------------------------------
