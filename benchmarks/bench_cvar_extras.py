@@ -97,6 +97,59 @@ def main():
     line["u_norm_max"] = float(np.linalg.norm(U, axis=-1).max())
     line["consensus_spread"] = float(np.ptp(U[:, :Nc, :], axis=0).max())
     print(json.dumps(line), flush=True)
+
+    # 3) SCENARIO-BATCHED cone paths (round-3): B problems, one vmapped
+    # device cone solve per SCP iteration (conebatch.solve_problems_cone).
+    # The per-problem serial rates above are the baseline to beat >=10x.
+    from pmpc_tpu.batch import solve_problems
+    from fixtures import unicycle_step
+
+    f_jax = pmpc_tpu.make_f_fx_fu_fn(unicycle_step)
+    B = 64
+    Mb = 4  # B x Mb particles total on device per iteration
+
+    def mk(seed, **ss):
+        r = np.random.default_rng(seed)
+        return dict(
+            f_fx_fu_fn=f_jax,
+            Q=np.tile(np.eye(xdim), (Mb, N, 1, 1)),
+            R=np.tile(1e-2 * np.eye(udim), (Mb, N, 1, 1)),
+            x0=np.ones((Mb, xdim)) + 0.05 * r.normal(size=(Mb, xdim)),
+            max_it=6, res_tol=1e-7,
+            solver_settings=dict(Nc=Nc, **ss))
+
+    def run_batch(tag, probs):
+        out = solve_problems(probs, fused=True)  # cold: compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = solve_problems(probs, fused=True)
+        dt = (time.perf_counter() - t0) / reps
+        n_ok = sum(1 for r in out if r[2] is not None and r[2]["converged"])
+        return dict(config=tag, B=len(probs),
+                    solves_per_s=round(len(probs) / dt, 2),
+                    ms_per_batch=round(1e3 * dt, 1), converged=n_ok), out
+
+    line, out = run_batch(
+        f"batched_cvar_k2_B{B}_M{Mb}", [mk(i, k=2) for i in range(B)])
+    print(json.dumps(line), flush=True)
+
+    nu_total = Nc * udim + Mb * (N - Nc) * udim
+    n_full = nu_total + Mb * N * xdim
+
+    def ec(i):
+        g = np.zeros((1, n_full))
+        g[0, :udim] = 1.0
+        return (1, [], 0, g, np.zeros((1, 0)), np.array([0.2 + 0.01 * i]),
+                np.zeros(n_full), np.zeros(0))
+
+    line, out = run_batch(
+        f"batched_extras_usoc_B{B}_M{Mb}",
+        [mk(i, extra_cstrs=[ec(i)], u_soc_r=np.full((Mb, N), umax))
+         for i in range(B)])
+    line["u_norm_max"] = float(max(
+        np.linalg.norm(r[1], axis=-1).max() for r in out if r[1] is not None))
+    print(json.dumps(line), flush=True)
     print("done", flush=True)
 
 

@@ -63,7 +63,7 @@ def closed_loop_fused(N, T, xdim, udim):
     f32 = np.float32
     solver = build_scp_solver(unicycle, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
                               max_it=3 if FAST else 6, res_tol=1e-5,
-                              has_u_bounds=True)
+                              has_u_bounds=True, return_state=True)
     Q = np.tile(np.eye(xdim, dtype=f32), (1, N, 1, 1))
     R = np.tile((1e-2 * np.eye(udim)).astype(f32), (1, N, 1, 1))
     u_l = -np.ones((1, N, udim), f32)
@@ -72,6 +72,7 @@ def closed_loop_fused(N, T, xdim, udim):
     x = np.zeros(xdim, f32)
     X_prev = U_prev = None
     u_last = np.zeros(udim, f32)
+    state = None  # IPM primal/dual/slack point carried across control steps
     errs, times = [], []
     for t in range(T):
         target = np.array([0.1 * t + 1.0, 1.0, 0.0, 0.0], f32)
@@ -84,7 +85,8 @@ def closed_loop_fused(N, T, xdim, udim):
             slew_reg0=0.5 if t else 0.0, slew_um1=u_last[None],
             u_l=u_l, u_u=u_u,
         )
-        X, U, info = solver(data)
+        X, U, info = solver(data, state)
+        state = info["solver_state"]
         u = np.asarray(U[0, 0], f32)
         times.append(time.perf_counter() - t0)
         x = plant_step(x, u).astype(f32)

@@ -119,9 +119,17 @@ def _solve_problems_fused(problems, split):
             "fused=True needs the JAX dynamics protocol: build f_fx_fu_fn "
             "with pmpc_tpu.make_f_fx_fu_fn(step_fn)")
     ss = dict(p0.get("solver_settings") or {})
-    unsupported = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
-                               "k", "weights", "Hf", "diff_cost_fn",
-                               "solver", "mu_target")
+    cone_features = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
+                                 "k", "Hf") if ss.get(k) is not None]
+    if cone_features:
+        # cone-program features cannot ride the structured box-IPM loop:
+        # route to the scenario-batched cone driver (one vmapped condensed
+        # assembly + cone IPM device call per SCP iteration)
+        from .conebatch import solve_problems_cone
+
+        return solve_problems_cone(problems, split=split)
+    unsupported = [k for k in ("weights", "diff_cost_fn", "solver",
+                               "mu_target")
                    if ss.get(k) is not None]
     if str(ss.get("method", "condensed")).lower() not in ("condensed",):
         unsupported.append("method")
@@ -222,6 +230,16 @@ def solve_problems(
     if len(problems) == 0:
         return []
     if fused:
+        ss0 = dict(problems[0].get("solver_settings") or {})
+        if any(ss0.get(k) is not None for k in
+               ("smooth_cstr", "smooth_alpha", "extra_cstrs", "k", "Hf")):
+            # cone-featured problems: their own batcher (multi-particle and
+            # consensus Nc allowed there; extras may differ numerically, so
+            # only require matching SHAPES/settings-keys — the cone driver
+            # validates signatures itself)
+            from .conebatch import solve_problems_cone
+
+            return solve_problems_cone(problems, split=split)
         if not _homogeneous(problems):
             raise ValueError("fused=True requires homogeneous problems")
         return _solve_problems_fused(problems, split)

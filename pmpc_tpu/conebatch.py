@@ -1,0 +1,307 @@
+"""Scenario-batched SCP over composed cone programs (extras / CVaR-k / Hf /
+control-norm cones / squareplus smoothing).
+
+`solve_problems(fused=True)` covers the box/SOC feature subset with the whole
+SCP loop under one jit (`jax_scp`). The cone-program features CANNOT ride
+that path (their subproblem is a general conic program, not the structured
+box IPM), and solving them one problem per call runs at ~0.5-1.5 solves/s
+(each call is a full f64 cone IPM). This module batches them: B
+same-SIGNATURE problems (possibly M particles each) run a host-driven SCP
+loop whose per-iteration work is ONE device program — vmapped condensed
+assembly + cone-program build + NT cone IPM
+(`compose.composed_solve_batch_device`) — with per-problem convergence,
+failure flags, reject contracts and warm starts carried on device.
+
+The reference solves these strictly serially (its only parallelism is
+``@threads`` sparse assembly inside one problem, ``cone_utils.jl:64-95``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .utils import atleast_nd
+
+_UNSUPPORTED_PROBLEM_KEYS = ("lin_cost_fn", "extra_cstrs_fns", "filter_method",
+                             "return_min_viol", "diff_cost_fn")
+
+
+def _canon_problem(p: Dict[str, Any]) -> Dict[str, Any]:
+    """Canonicalize one problem dict to batched (M, ...) float64 arrays
+    (the `scp._SCPProblem.build` conventions, minus callbacks)."""
+    out = {}
+    Q = np.array(p["Q"], dtype=float)
+    single = np.asarray(p["x0"]).ndim == 1
+    Q = Q[None] if single else Q
+    R = np.array(p["R"], dtype=float)
+    R = R[None] if single else R
+    M, N, xdim = Q.shape[:3]
+    udim = R.shape[-1]
+    x0 = np.asarray(p["x0"], dtype=float).reshape(M, xdim)
+
+    def ref(name, d):
+        v = p.get(name)
+        if v is None:
+            return np.zeros((M, N, d))
+        return np.asarray(v, dtype=float).reshape(M, N, d)
+
+    X_ref, U_ref = ref("X_ref", xdim), ref("U_ref", udim)
+
+    def traj(name, fallback):
+        v = p.get(name)
+        if v is None:
+            return fallback.copy()
+        return np.asarray(v, dtype=float).reshape(fallback.shape)
+
+    def bound(name, d, fill):
+        v = p.get(name)
+        if v is None or (np.asarray(v, dtype=float).size
+                         and np.any(np.isnan(np.asarray(v, dtype=float)))):
+            return None
+        return np.broadcast_to(
+            atleast_nd(np.asarray(v, dtype=float), 3), (M, N, d)).copy()
+
+    out.update(
+        x0=x0, Q=Q, R=R, X_ref=X_ref, U_ref=U_ref,
+        X_prev=traj("X_prev", X_ref), U_prev=traj("U_prev", U_ref),
+        u_l=bound("u_l", udim, -np.inf), u_u=bound("u_u", udim, np.inf),
+        x_l=bound("x_l", xdim, -np.inf), x_u=bound("x_u", xdim, np.inf),
+        reg_x=float(p.get("reg_x", 1.0)), reg_u=float(p.get("reg_u", 1e-2)),
+        M=M, N=N, xdim=xdim, udim=udim,
+    )
+    ss = dict(p.get("solver_settings") or {})
+    slew_rate = p.get("slew_rate")
+    out["slew_reg"] = float(slew_rate) if slew_rate else 0.0
+    u0_slew = p.get("u_slew", p.get("u0_slew"))
+    if u0_slew is not None:
+        out["slew_reg0"] = float(ss.get("slew_reg0",
+                                        ss.get("slew_reg", out["slew_reg"])))
+        out["slew_um1"] = np.broadcast_to(
+            np.asarray(u0_slew, dtype=float), (M, udim)).copy()
+    else:
+        out["slew_reg0"] = 0.0
+        out["slew_um1"] = np.zeros((M, udim))
+    return out
+
+
+def solve_problems_cone(
+    problems: Sequence[Dict[str, Any]],
+    split: bool = True,
+) -> List[Tuple[np.ndarray, np.ndarray, Dict[str, Any]]]:
+    """Batched SCP solve of B cone-featured problems in lockstep.
+
+    Requirements (checked): homogeneous shapes/settings, the JAX dynamics
+    protocol (``make_f_fx_fu_fn``), identical extras SIGNATURE (numeric
+    values may differ per problem), no exponential cones (no logbarrier
+    smoothing, no ``e`` rows — those need the barrier driver, solve serially).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .solvers.compose import composed_solve_batch_device, COST_ANCHOR_EPS
+    from .solvers.coneipm import cone_host_stats
+    from .solvers.dispatch import _cone_precision_scope
+    from .solvers.extras import _canon_extras
+    from .dynamics import linearize
+
+    p0 = problems[0]
+    dyn = getattr(p0.get("f_fx_fu_fn"), "__wrapped_dynamics__", None)
+    if dyn is None:
+        raise ValueError(
+            "batched cone solves need the JAX dynamics protocol: build "
+            "f_fx_fu_fn with pmpc_tpu.make_f_fx_fu_fn(step_fn)")
+    for k in _UNSUPPORTED_PROBLEM_KEYS:
+        if p0.get(k):
+            raise ValueError(f"batched cone solves do not support {k!r}")
+    ss0 = dict(p0.get("solver_settings") or {})
+    smooth = str(ss0.get("smooth_cstr") or "")
+    if smooth == "" and ss0.get("smooth_alpha") is not None \
+            and np.isfinite(float(ss0["smooth_alpha"])):
+        smooth = "logbarrier"
+    if smooth == "logbarrier":
+        raise ValueError(
+            "batched cone solves do not support logbarrier smoothing (it "
+            "generates exponential cones — squareplus batches; solve "
+            "logbarrier problems serially)")
+    if ss0.get("weights") is not None:
+        raise ValueError("batched cone solves do not support weights yet")
+
+    B = len(problems)
+    cps = [_canon_problem(p) for p in problems]
+    M, N, xdim, udim = cps[0]["M"], cps[0]["N"], cps[0]["xdim"], cps[0]["udim"]
+    Nc = int(ss0.get("Nc", -1))
+    Nc = Nc if Nc >= 0 else N
+    if M == 1:
+        Nc = 0  # single particle: keep the per-particle layout (scp.py rule)
+    dims = (N, udim, xdim)
+
+    # stack problem arrays (B, M, ...)
+    def stack(key):
+        vals = [cp[key] for cp in cps]
+        if any(v is None for v in vals):
+            if not all(v is None for v in vals):
+                raise ValueError(f"field {key} present in only some problems")
+            return None
+        return np.stack([np.asarray(v, dtype=float) for v in vals])
+
+    probs_np = {k: stack(k) for k in
+                ("x0", "Q", "R", "X_ref", "U_ref", "X_prev", "U_prev",
+                 "slew_um1")}
+    for k in ("reg_x", "reg_u", "slew_reg", "slew_reg0"):
+        probs_np[k] = np.stack([np.full((M,), cp[k]) for cp in cps])
+    bounds_np = {k: stack(k) for k in ("u_l", "u_u", "x_l", "x_u")}
+    bounds_np = {k: v for k, v in bounds_np.items() if v is not None}
+
+    u_soc_r = ss0.get("u_soc_r")
+    if u_soc_r is not None:
+        rs = [np.broadcast_to(np.asarray(
+            (p.get("solver_settings") or {}).get("u_soc_r"), dtype=float),
+            (M, N)) for p in problems]
+        bounds_np["u_soc_r"] = np.stack(rs)
+
+    # extras: identical static signature across the batch, stacked numerics
+    nu_total = Nc * udim + M * (N - Nc) * udim
+    n_full = nu_total + M * N * xdim
+    sigs, arrays = [], []
+    for p in problems:
+        ec = (p.get("solver_settings") or {}).get("extra_cstrs") or []
+        sig_i, arr_i = _canon_extras(ec, n_full)
+        sigs.append(sig_i)
+        arrays.append(arr_i)
+    sig = sigs[0]
+    if any(s != sig for s in sigs):
+        raise ValueError(
+            "batched cone solves need the same extras signature (l, q, e, "
+            "n_aux) for every problem; numeric values may differ")
+    if any(e for (_, _, e, _) in sig):
+        raise ValueError("batched cone solves do not support exp-cone extras")
+    ecs_np = tuple(
+        tuple(np.stack([arrays[b][i][j] for b in range(B)])
+              for j in range(5))
+        for i in range(len(sig)))
+
+    extras_q_np = {}
+    if ss0.get("Hf") is not None:
+        extras_q_np["Hf"] = np.stack([
+            np.asarray((p.get("solver_settings") or {})["Hf"], dtype=float)
+            for p in problems])
+        if ss0.get("hf") is not None:
+            extras_q_np["hf"] = np.stack([
+                np.asarray((p.get("solver_settings") or {})["hf"],
+                           dtype=float).reshape(-1) for p in problems])
+
+    k_set = ss0.get("k")
+    has_cvar = k_set is not None and int(k_set) >= 0 and int(k_set) != M
+    if has_cvar and "Hf" in extras_q_np:
+        raise NotImplementedError("k (CVaR) combined with Hf is not supported")
+
+    max_it = int(p0.get("max_it", 100))
+    res_tol = float(p0.get("res_tol", 1e-5))
+    cdt = np.dtype(ss0.get("cone_dtype", np.float64))
+    f64 = cdt == np.float64
+    iters = int(ss0.get("ipm_iters", 100 if f64 else (50 if has_cvar else 35)))
+    tol_exp = int(ss0.get("ipm_tol_exp",
+                          -8 if f64 else (-3 if has_cvar else -5)))
+    kappa = float(ss0.get("ipm_kappa",
+                          1e-10 if f64 else (1e-6 if has_cvar else 1e-7)))
+    adaptive = bool(ss0.get("ipm_adaptive_tol", "ipm_tol_exp" not in ss0))
+
+    with _cone_precision_scope(cdt, ss0.get("cone_device", "auto")):
+        cast = lambda a: jnp.asarray(np.asarray(a), cdt)
+        probs = {k: cast(v) for k, v in probs_np.items()}
+        bounds = {k: cast(v) for k, v in bounds_np.items()}
+        ecs = tuple(tuple(cast(a) for a in ec) for ec in ecs_np)
+        extras_q = {k: cast(v) for k, v in extras_q_np.items()}
+        alpha = cast(float(ss0.get("smooth_alpha", 1.0) or 1.0))
+        beta = cast(float(ss0.get("smooth_beta", 1.0) or 1.0))
+        kv = cast(float(k_set)) if has_cvar else None
+        eps = cast(float(ss0.get("cost_anchor_eps", COST_ANCHOR_EPS))) \
+            if has_cvar else None
+
+        X_prev = probs["X_prev"]  # (B, M, N, xdim) device
+        U_prev = probs["U_prev"]
+        x0 = probs["x0"]
+        done = np.zeros(B, bool)
+        resid_b = np.full(B, np.inf)
+        failed_b = np.zeros(B, bool)
+        warm = None
+        iters_used = 0
+        t_aff = []
+        import time as _time
+
+        for it in range(max_it):
+            x_at = jnp.concatenate([x0[:, :, None, :], X_prev[:, :, :-1, :]],
+                                   axis=2)
+            f, fx, fu = linearize(dyn, x_at, U_prev)
+            probs_it = dict(probs, f=f, fx=fx, fu=fu,
+                            X_prev=X_prev, U_prev=U_prev)
+            tol_dyn = None
+            if adaptive:
+                r = np.minimum(np.where(np.isfinite(resid_b), resid_b, 1e3),
+                               1e3)
+                tol_dyn = cast(np.clip(1e-3 * r * r, 0.0, 1e-3))
+            t0 = _time.time()
+            X_new, U_new, aux, stats, warm_new = composed_solve_batch_device(
+                probs_it, bounds, ecs, extras_q, dims, sig, smooth,
+                alpha, beta, Nc=Nc, k=kv, eps=eps, has_cvar=has_cvar,
+                iters=iters, tol_exp=tol_exp, kappa=kappa,
+                tol_dynamic=tol_dyn, warm=warm)
+            mu_h, conv_h = np.asarray(stats["mu"]), np.asarray(stats["converged"])
+            t_aff.append(_time.time() - t0)
+            # per-problem reject contract: a hard-failed subproblem (IPM far
+            # from its central path) freezes that problem's iterate
+            tol_eff = max(10.0 ** tol_exp,
+                          0.0 if tol_dyn is None else float(np.max(np.asarray(tol_dyn))))
+            hard_fail = (~conv_h) & (~np.isfinite(mu_h) | (mu_h > 1e2 * tol_eff))
+            dX = np.asarray(X_new) - np.asarray(X_prev)
+            dU = np.asarray(U_new) - np.asarray(U_prev)
+            r_new = np.maximum(
+                np.max(np.linalg.norm(dX, axis=-1), axis=(1, 2)),
+                np.max(np.linalg.norm(dU, axis=-1), axis=(1, 2)))
+            bad = hard_fail | ~np.isfinite(r_new)
+            accept = ~(done | bad)
+            failed_b |= bad & ~done & (resid_b == np.inf)  # failed on it 0
+
+            acc = jnp.asarray(accept)[:, None, None, None]
+            X_prev = jnp.where(acc, X_new, X_prev)
+            U_prev = jnp.where(acc, U_new, U_prev)
+            if warm is None:
+                warm = warm_new
+            else:
+                accv = jnp.asarray(accept)
+                warm = jax.tree.map(
+                    lambda n, o: jnp.where(
+                        accv.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+                    warm_new, warm)
+            resid_b = np.where(accept, r_new, resid_b)
+            done = done | (accept & (r_new < res_tol)) | bad
+            iters_used = it + 1
+            if done.all():
+                break
+
+        X_np = np.asarray(X_prev)
+        U_np = np.asarray(U_prev)
+
+    X_traj = np.concatenate([np.asarray(probs_np["x0"])[:, :, None, :], X_np],
+                            axis=2)
+    base = dict(fused_cone=True, iters=iters_used, t_aff_solve=t_aff)
+    single = np.asarray(problems[0]["x0"]).ndim == 1
+    if not split:
+        return [(X_traj, U_np, dict(
+            base, resid_problem=resid_b, converged=bool((resid_b < res_tol).all()),
+            ipm_failed=failed_b))]
+    out = []
+    for i in range(B):
+        d = dict(base, batch_index=i, resid=float(resid_b[i]),
+                 converged=bool(resid_b[i] < res_tol),
+                 ipm_failed=bool(failed_b[i]))
+        Xi, Ui = X_traj[i], U_np[i]
+        if single:
+            Xi, Ui = Xi[0], Ui[0]
+        if failed_b[i]:
+            out.append((None, None, None))  # scp failure contract
+        else:
+            out.append((Xi, Ui, d))
+    return out

@@ -112,6 +112,8 @@ def build_scp_solver(
     ipm_tau: Optional[float] = None,
     has_u_soc: bool = False,
     method: str = "condensed",
+    has_slew: bool = False,
+    return_state: bool = False,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -168,13 +170,24 @@ def build_scp_solver(
             # O(N) stage-structured consensus solve: no O(N^2) Ft, the
             # consensus Schur complement is a per-particle theta-quadratic sum.
             # 'priccati' runs the sweeps as associative scans (O(log N) depth).
-            # Slew terms are NOT expressible in the stage-separable sweep
-            # (the host dispatch raises for riccati+slew); a silent drop
-            # would return wrong solutions, so poison the result instead —
-            # the NaN contract freezes the iterate and reports not-converged.
-            slew_present = (jnp.max(data.slew_reg) > 0) | \
-                (jnp.max(data.slew_reg0) > 0)
-            poison = jnp.where(slew_present, jnp.nan, 1.0).astype(data.Q.dtype)
+            # Slew coupling is expressible via state augmentation
+            # (riccati.augment_slew_stages) behind the STATIC has_slew flag
+            # (the augmented sweep costs (xdim+2 udim)^3 per stage, so it is
+            # opt-in); when the flag is off but the data carries slew terms, a
+            # silent drop would return wrong solutions — poison the result
+            # instead (the NaN contract freezes the iterate and reports
+            # not-converged).
+            slew_kw = {}
+            if has_slew:
+                poison = jnp.ones((), data.Q.dtype)
+                slew_kw = dict(slew_reg=data.slew_reg,
+                               slew_reg0=data.slew_reg0,
+                               slew_um1=data.slew_um1)
+            else:
+                slew_present = (jnp.max(data.slew_reg) > 0) | \
+                    (jnp.max(data.slew_reg0) > 0)
+                poison = jnp.where(slew_present, jnp.nan,
+                                   1.0).astype(data.Q.dtype)
             if has_bounds:
                 from .solvers.riccati_ipm import riccati_ipm_solve_scp
 
@@ -192,7 +205,7 @@ def build_scp_solver(
                     iters=ipm_iters,
                     tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
                     kappa=kappa if kappa is not None else dflt_kappa,
-                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau)
+                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau, **slew_kw)
                 if warm_start:
                     warm_new = (stats["theta"], stats["uf"],
                                 stats["s"], stats["lam"])
@@ -206,9 +219,13 @@ def build_scp_solver(
                     from .solvers.riccati import (
                         riccati_consensus_solve as _consensus)
 
+                if method == "priccati" and has_slew:
+                    raise NotImplementedError(
+                        "method='priccati' does not support slew coupling; "
+                        "use method='riccati'")
                 X, U = _consensus(
                     data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
-                    X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc)
+                    X_ref, U_ref, data.reg_x, data.reg_u, Nc=Nc, **slew_kw)
                 warm_new = warm
                 stats = None
             X = X * poison
@@ -307,33 +324,42 @@ def build_scp_solver(
                 warm_out), ys
 
     @with_matmul_precision("highest")
-    def solver(data: SCPData):
+    def solver(data: SCPData, state=None):
+        """``state``: the IPM primal/dual/slack tuple a previous call returned
+        in ``info["solver_state"]`` (when built with ``return_state=True``) —
+        receding-horizon MPC threads it across `solve()` calls so the first
+        subproblem's IPM starts at the previous step's point instead of the
+        cold heuristic (the reference's solver_state contract,
+        ``pmpc/scp_mpc.py:366-373``)."""
         dt = data.Q.dtype
         if has_bounds and warm_start:
-            # neutral warm point for the first iteration: primal from U_prev,
-            # slacks/multipliers at the cold-start heuristic values
-            nc = Nc * udim
-            nf = (N - Nc) * udim
-            uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
-            uf_w = data.U_prev.reshape(M, -1)[:, nc:]
-            if method in ("riccati", "priccati"):
-                # stage-structured IPM layout: padded theta, no state rows
-                nct = max(nc, 1)
-                th_w = jnp.zeros((nct,), dt).at[:nc].set(uc_w)
-                mtot = 2 * nct + 2 * M * nf
-                s_w = jnp.ones((mtot,), dt)
-                warm0 = (th_w, uf_w, s_w, s_w)
+            if state is not None:
+                warm0 = state
             else:
-                # state rows exist in the IPM's flat layout only when state
-                # bounds are active (see ipm_core)
-                mtot = 2 * nc + 2 * M * nf \
-                    + (2 * M * (N * xdim) if has_x_bounds else 0)
-                s_w = jnp.ones((mtot,), dt)
-                warm0 = (uc_w, uf_w, s_w, s_w)
-            if has_u_soc:
-                nq = Nc + M * (N - Nc)
-                e0 = jnp.zeros((nq, udim + 1), dt).at[:, 0].set(1.0)
-                warm0 = warm0 + (e0, e0)
+                # neutral warm point for the first iteration: primal from
+                # U_prev, slacks/multipliers at the cold-start heuristics
+                nc = Nc * udim
+                nf = (N - Nc) * udim
+                uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
+                uf_w = data.U_prev.reshape(M, -1)[:, nc:]
+                if method in ("riccati", "priccati"):
+                    # stage-structured IPM layout: padded theta, no state rows
+                    nct = max(nc, 1)
+                    th_w = jnp.zeros((nct,), dt).at[:nc].set(uc_w)
+                    mtot = 2 * nct + 2 * M * nf
+                    s_w = jnp.ones((mtot,), dt)
+                    warm0 = (th_w, uf_w, s_w, s_w)
+                else:
+                    # state rows exist in the IPM's flat layout only when
+                    # state bounds are active (see ipm_core)
+                    mtot = 2 * nc + 2 * M * nf \
+                        + (2 * M * (N * xdim) if has_x_bounds else 0)
+                    s_w = jnp.ones((mtot,), dt)
+                    warm0 = (uc_w, uf_w, s_w, s_w)
+                if has_u_soc:
+                    nq = Nc + M * (N - Nc)
+                    e0 = jnp.zeros((nq, udim + 1), dt).at[:, 0].set(1.0)
+                    warm0 = warm0 + (e0, e0)
         else:
             warm0 = None
         carry0 = (
@@ -344,7 +370,7 @@ def build_scp_solver(
             warm0,
         )
         if collect_stats:
-            (X, U, it, done, resid, resid_m, _), ys = lax.scan(
+            (X, U, it, done, resid, resid_m, warm_fin), ys = lax.scan(
                 partial(iteration, data), carry0, None, length=max_it
             )
         else:
@@ -355,7 +381,7 @@ def build_scp_solver(
             def wcond(carry):
                 return (~carry[3]) & (carry[2] < max_it)
 
-            (X, U, it, done, resid, resid_m, _) = lax.while_loop(
+            (X, U, it, done, resid, resid_m, warm_fin) = lax.while_loop(
                 wcond, lambda c: iteration(data, c, None)[0], carry0)
             ys = None
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
@@ -363,6 +389,8 @@ def build_scp_solver(
                     resid_particle=resid_m)
         if collect_stats:
             info["scan_stats"] = ys
+        if return_state:
+            info["solver_state"] = warm_fin
         return X_traj, U, info
 
     return jax.jit(solver) if jit else solver

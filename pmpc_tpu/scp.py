@@ -492,11 +492,41 @@ def scp_solve(
                 "%9.4e" % st.max_res,
             )
             print_fn(banner)
+    _flag_f32_stall(data, settings, st.max_res, res_tol)
     if not debug:
         del data["sol_hist"]
     if prob.single:
         return st.X[0], st.U[0], data
     return st.X, st.U, data
+
+
+def _flag_f32_stall(data, settings, max_res: float, res_tol: float) -> None:
+    """Detect the documented float32 failure signature and surface it.
+
+    The f32 accuracy envelope (benchmarks/RESULTS_r2.md) shows hard instances
+    where the SCP residual PLATEAUS around 1e-3 — f32 wobble in the
+    linearization/condensation moves the subproblem optimum between
+    equivalent iterates, so the loop exits at max_it "not converged" with no
+    hint that precision (not the problem) is the limiter. Signature: 32-bit
+    solve, final residual >= 10x res_tol, and <30%% total residual progress
+    over the last 3 iterations. Sets ``data["f32_stall_suspected"]`` and
+    warns once (structured, not print: visible at verbose=False)."""
+    dtype = np.dtype(settings.get("dtype", default_dtype()))
+    if dtype != np.float32 or not np.isfinite(max_res):
+        return
+    resids = [h["resid"] for h in data.get("hist", [])]
+    if len(resids) < 4 or max_res < 10.0 * res_tol:
+        return
+    if resids[-1] > 0.7 * resids[-4]:  # <30% progress over 3 iterations
+        data["f32_stall_suspected"] = True
+        import warnings
+
+        warnings.warn(
+            f"SCP residual plateaued at {max_res:.2e} (res_tol={res_tol:.0e})"
+            " in float32 — this matches the f32 precision floor on hard "
+            "instances; retry with solver_settings={'dtype': 'float64'} "
+            "(CPU or TPU x64).",
+            RuntimeWarning, stacklevel=3)
 
 
 def solve(*args, **kwargs):

@@ -107,105 +107,119 @@ def affine_solve_np(
                 or bool(extra_cstrs) or u_soc_r is not None)
 
     k = settings.get("k", None)
-    if k is not None and int(k) >= 0 and int(k) != M:
-        # k-worst-particle (CVaR) objective: cone epigraph program
-        if extra_cstrs:
-            raise NotImplementedError("k (CVaR) combined with extra_cstrs is not supported yet")
-        if u_soc_r is not None:
-            # silently dropping the thrust cones would change semantics
-            raise NotImplementedError("k (CVaR) combined with u_soc_r is not supported yet")
-        if smooth_cstr:
-            # the reference cone path smooths AFTER building the k-worst
-            # program (main.jl:242-290); silently hardening the bounds would
-            # change semantics, so refuse the combination until implemented
-            raise NotImplementedError("k (CVaR) combined with smooth_cstr is not supported yet")
-        from .cvar import cvar_solve, particle_constants
-
-        if weights is not None:
-            # particle weights scale each particle's cost terms before the
-            # k-worst epigraph program is built (main.jl:202-204 via
-            # scale_probs_cost!, main.jl:96-112)
-            w = weights / jnp.sum(weights)
-            wq = np.asarray(w)[:, None, None, None]
-            Q, R = np.asarray(Q) * wq, np.asarray(R) * wq
-            wv = np.asarray(w)
-            reg_x, reg_u = np.asarray(reg_x) * wv, np.asarray(reg_u) * wv
-            slew_reg, slew_reg0 = np.asarray(slew_reg) * wv, np.asarray(slew_reg0) * wv
-            if bool(settings.get("weights_scale_slew_target", True)):
-                slew_um1 = np.asarray(slew_um1) * wv[:, None]
-        # the epigraph cone program squares conditioning (explicit condensed
-        # Hessians + their Cholesky factors), so it runs in f64 like the
-        # reference's CPU cone solvers; f32 stalls at mu ~ 1 at M,N beyond toy
-        # sizes. ``enable_x64`` scopes the 64-bit trace to this path only.
-        cdt = np.dtype(settings.get("cone_dtype", np.float64))
-        with _cone_precision_scope(cdt, settings.get("cone_device", "auto")):
-            args16 = [jnp.asarray(np.asarray(a), cdt)
-                      for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
-                                X_ref, U_ref, reg_x, reg_u,
-                                slew_reg, slew_reg0, slew_um1)]
-            H_per, q_per, Ft, g = _batched_particle_H_q(*args16)
-            udim = fu.shape[-1]
-            nc = Nc * udim
-            from .reduced import CondensedQP as _CQP
-
-            cqp = _CQP(
-                Hcc=jnp.sum(H_per[:, :nc, :nc], axis=0),
-                Hcf=H_per[:, :nc, nc:], Hff=H_per[:, nc:, nc:],
-                qc=jnp.sum(q_per[:, :nc], axis=0), qf=q_per[:, nc:],
-                Ft=Ft, g=g,
-                w_prev=jnp.asarray(np.asarray(U_prev), cdt).reshape(M, -1),
-            )
-            # per-particle z_i = [uc; uf_i] quadratics keep their own consensus
-            # block
-            H_zi = np.asarray(H_per)
-            q_zi = np.asarray(q_per)
-            c_per = particle_constants(np.asarray(g), X_prev, U_prev, Q, R,
-                                       X_ref, U_ref, reg_x, reg_u,
-                                       slew_reg0, slew_um1)
-            xdim = f.shape[-1]
-            X, U, data = cvar_solve(
-                H_zi, q_zi, c_per, cqp, N=N, udim=udim, xdim=xdim, k=int(k),
-                u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u, settings=settings,
-            )
-        return np.asarray(X), np.asarray(U), data
-
+    has_cvar = k is not None and int(k) >= 0 and int(k) != M
     Hf = settings.get("Hf", None)
-    if extra_cstrs or Hf is not None:
-        # arbitrary cones / cross-particle terminal cost couple variables
-        # across particles: dense cone path — f64 like the CVaR branch above
-        # (same conditioning-squared argument; override via ``cone_dtype``)
-        if u_soc_r is not None:
+    # the composed dense cone program handles every combination the
+    # reference's lcone_solve builds in one conic program (main.jl:204-317):
+    # k-worst epigraph, extras, Hf, smoothing of box + extras' linear rows,
+    # and per-stage control-norm cones (u_soc_r alone stays on the fast
+    # structured IPM; composed with smoothing/extras it joins this program)
+    needs_compose = (has_cvar or bool(extra_cstrs) or Hf is not None
+                     or (u_soc_r is not None
+                         and smooth_cstr in ("logbarrier", "squareplus")))
+    if needs_compose:
+        if has_cvar and Hf is not None:
+            # a cross-particle terminal cost cannot be attributed to a single
+            # particle's epigraph cone; the reference cannot compose these
+            # either (Hf exists only on its QP path, lqp_utils.jl:105-163)
             raise NotImplementedError(
-                "u_soc_r combined with extra_cstrs/Hf is not supported yet: "
-                "encode the thrust cones as extra SOC constraints instead")
-        from .extras import cone_solve_with_extras, terminal_cross_cost
+                "k (CVaR) combined with Hf is not supported: the "
+                "cross-particle terminal cost has no per-particle epigraph")
+        if settings.get("diff_cost_fn") is not None:
+            # arbitrary differentiable costs need the smooth solvers, which
+            # cannot enforce cone programs; silently dropping either side
+            # would change semantics (the reference experimental path rejects
+            # extra constraints outright, jax_solver.py:347-352)
+            raise NotImplementedError(
+                "diff_cost_fn cannot be combined with extra_cstrs/Hf/k: the "
+                "cone path has no smooth-objective hook")
+        if str(settings.get("solver", "")).upper() in ("BFGS", "LBFGS",
+                                                       "CVX", "SQP"):
+            raise NotImplementedError(
+                "named smooth solvers (BFGS/LBFGS/CVX/SQP) cannot solve cone "
+                "programs (extra_cstrs/Hf/k); use the default cone IPM")
+        from .compose import CvarParts, COST_ANCHOR_EPS, composed_cone_solve
+        from .extras import terminal_cross_cost
         from .reduced import assemble_condensed as _assemble
 
+        xdim = f.shape[-1]
+        udim = fu.shape[-1]
+        alpha = smooth_alpha if smooth_alpha is not None else 1.0
+        beta = settings.get("smooth_beta", 1.0)
+        # the cone programs square conditioning (explicit condensed Hessians
+        # +/- their Cholesky factors), so they run in f64 like the reference's
+        # CPU cone solvers (override via ``cone_dtype``); ``enable_x64``
+        # scopes the 64-bit trace to this path only
         cdt = np.dtype(settings.get("cone_dtype", np.float64))
         with _cone_precision_scope(cdt, settings.get("cone_device", "auto")):
             cast = lambda a: jnp.asarray(np.asarray(a), cdt)
-            cqp = _assemble(
-                cast(x0), cast(f), cast(fx), cast(fu),
-                cast(X_prev), cast(U_prev), cast(Q), cast(R),
-                cast(X_ref), cast(U_ref),
-                cast(reg_x), cast(reg_u),
-                cast(slew_reg), cast(slew_reg0), cast(slew_um1),
-                Nc=Nc,
-                weights=cast(weights) if weights is not None else None,
-                scale_slew_target=bool(
-                    settings.get("weights_scale_slew_target", True)),
-            )
-            xdim = f.shape[-1]
-            udim = fu.shape[-1]
+            cvar = None
+            if has_cvar:
+                if weights is not None:
+                    # particle weights scale each particle's cost terms
+                    # before the k-worst epigraph program is built
+                    # (main.jl:202-204 via scale_probs_cost!, main.jl:96-112)
+                    w = weights / jnp.sum(weights)
+                    wq = np.asarray(w)[:, None, None, None]
+                    Q, R = np.asarray(Q) * wq, np.asarray(R) * wq
+                    wv = np.asarray(w)
+                    reg_x, reg_u = (np.asarray(reg_x) * wv,
+                                    np.asarray(reg_u) * wv)
+                    slew_reg = np.asarray(slew_reg) * wv
+                    slew_reg0 = np.asarray(slew_reg0) * wv
+                    if bool(settings.get("weights_scale_slew_target", True)):
+                        slew_um1 = np.asarray(slew_um1) * wv[:, None]
+                args16 = [cast(a)
+                          for a in (x0, f, fx, fu, X_prev, U_prev, Q, R,
+                                    X_ref, U_ref, reg_x, reg_u,
+                                    slew_reg, slew_reg0, slew_um1)]
+                H_per, q_per, Ft, g = _batched_particle_H_q(*args16)
+                nc = Nc * udim
+                from .reduced import CondensedQP as _CQP
+
+                cqp = _CQP(
+                    Hcc=jnp.sum(H_per[:, :nc, :nc], axis=0),
+                    Hcf=H_per[:, :nc, nc:], Hff=H_per[:, nc:, nc:],
+                    qc=jnp.sum(q_per[:, :nc], axis=0), qf=q_per[:, nc:],
+                    Ft=Ft, g=g,
+                    w_prev=cast(U_prev).reshape(M, -1),
+                )
+                from .cvar import particle_constants
+
+                c_per = particle_constants(
+                    np.asarray(g), X_prev, U_prev, Q, R, X_ref, U_ref,
+                    reg_x, reg_u, slew_reg0, slew_um1)
+                eps = float(settings.get("cost_anchor_eps", COST_ANCHOR_EPS))
+                cvar = CvarParts(
+                    H_per=H_per, q_per=q_per,
+                    c_per=jnp.asarray(c_per, cdt),
+                    k=jnp.asarray(float(k), cdt),
+                    eps=jnp.asarray(eps, cdt))
+            else:
+                cqp = _assemble(
+                    cast(x0), cast(f), cast(fx), cast(fu),
+                    cast(X_prev), cast(U_prev), cast(Q), cast(R),
+                    cast(X_ref), cast(U_ref),
+                    cast(reg_x), cast(reg_u),
+                    cast(slew_reg), cast(slew_reg0), cast(slew_um1),
+                    Nc=Nc,
+                    weights=cast(weights) if weights is not None else None,
+                    scale_slew_target=bool(
+                        settings.get("weights_scale_slew_target", True)),
+                )
             H_extra = q_extra = None
             if Hf is not None:
                 H_extra, q_extra = terminal_cross_cost(
                     cqp, N=N, xdim=xdim, Hf=Hf, hf=settings.get("hf", None))
-            X, U, data = cone_solve_with_extras(
+            X, U, data = composed_cone_solve(
                 cqp, N=N, udim=udim, xdim=xdim,
                 u_l=u_l, u_u=u_u, x_l=x_l, x_u=x_u,
                 extra_cstrs=extra_cstrs or [], settings=settings,
                 H_extra=H_extra, q_extra=q_extra,
+                u_soc_r=u_soc_r,
+                smooth_method=smooth_cstr or "",
+                smooth_alpha=alpha, smooth_beta=beta,
+                cvar=cvar,
             )
         return np.asarray(X), np.asarray(U), data
 
@@ -221,14 +235,15 @@ def affine_solve_np(
 
     if u_soc_r is not None and (
         diff_cost_fn is not None
-        or smooth_cstr == "squareplus"
         or str(settings.get("solver", "")).upper()
         in ("BFGS", "LBFGS", "CVX", "SQP")
     ):
+        # smoothing combinations route through the composed cone program
+        # above; only genuinely smooth-objective solves remain incompatible
+        # with exact cones
         raise NotImplementedError(
-            "u_soc_r cones are handled by the structured IPM path only; "
-            "they cannot be combined with smooth solves "
-            "(diff_cost_fn / squareplus / named BFGS/LBFGS/CVX/SQP solvers)"
+            "u_soc_r cones cannot be combined with smooth-objective solves "
+            "(diff_cost_fn / named BFGS/LBFGS/CVX/SQP solvers)"
         )
 
     if diff_cost_fn is not None:
@@ -258,9 +273,7 @@ def affine_solve_np(
         # on the condensed path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            not np.any(np.asarray(slew_reg) != 0)
-            and not np.any(np.asarray(slew_reg0) != 0)
-            and weights is None and x_l is None and x_u is None
+            x_l is None and x_u is None
             and not extra_cstrs and u_soc_r is None and not smooth_cstr
             and diff_cost_fn is None
             and not float(settings.get("mu_target", 0.0) or 0.0) > 0.0
@@ -270,16 +283,30 @@ def affine_solve_np(
         if N >= auto_N and eligible:
             want_riccati = True
     if want_riccati:
-        # O(N) stage-structured path (long horizons); slew/weights need
-        # the condensed path
-        if np.any(np.asarray(slew_reg) != 0) or np.any(np.asarray(slew_reg0) != 0):
-            raise NotImplementedError("method='riccati' does not support slew terms")
-        if weights is not None:
-            raise NotImplementedError("method='riccati' does not support weights")
+        # O(N) stage-structured path (long horizons): slew coupling enters
+        # via state augmentation (riccati.augment_slew_stages), weights by
+        # pre-scaling the per-particle costs (scale_probs_cost! role,
+        # main.jl:96-112) — the theta-consensus sum then weights itself
         if float(settings.get("mu_target", 0.0) or 0.0) > 0.0:
             raise NotImplementedError(
                 "method='riccati' does not support mu_target (central-path "
                 "stops need the condensed IPM)")
+        if weights is not None:
+            w = np.asarray(weights / jnp.sum(weights))
+            wq = w[:, None, None, None]
+            Q, R = np.asarray(Q) * wq, np.asarray(R) * wq
+            reg_x, reg_u = np.asarray(reg_x) * w, np.asarray(reg_u) * w
+            slew_reg = np.asarray(slew_reg) * w
+            slew_reg0 = np.asarray(slew_reg0) * w
+            if bool(settings.get("weights_scale_slew_target", True)):
+                slew_um1 = np.asarray(slew_um1) * w[:, None]
+            base_args = base_args[:6] + (jnp.asarray(Q), jnp.asarray(R)) \
+                + base_args[8:]
+            reg_args = (jnp.asarray(reg_x), jnp.asarray(reg_u),
+                        jnp.asarray(slew_reg), jnp.asarray(slew_reg0),
+                        jnp.asarray(slew_um1))
+    has_slew = bool(np.any(np.asarray(slew_reg) != 0)
+                    or np.any(np.asarray(slew_reg0) != 0))
 
     if want_riccati and has_ineq:
         # u-box bounds only: the stage-structured Mehrotra IPM (riccati_ipm);
@@ -303,12 +330,12 @@ def affine_solve_np(
         if want_riccati:
             from .riccati import riccati_consensus_solve
 
+            slew_kw = {}
+            if has_slew:
+                slew_kw = dict(slew_reg=reg_args[2], slew_reg0=reg_args[3],
+                               slew_um1=reg_args[4])
             X, U = riccati_consensus_solve(
-                jnp.asarray(x0), jnp.asarray(f), jnp.asarray(fx), jnp.asarray(fu),
-                jnp.asarray(X_prev), jnp.asarray(U_prev),
-                jnp.asarray(Q), jnp.asarray(R),
-                jnp.asarray(X_ref), jnp.asarray(U_ref),
-                jnp.asarray(reg_x), jnp.asarray(reg_u), Nc=Nc)
+                *base_args, reg_args[0], reg_args[1], Nc=Nc, **slew_kw)
             return (np.asarray(X), np.asarray(U),
                     dict(solver_state=settings.get("solver_state")))
         cqp = assemble_condensed(

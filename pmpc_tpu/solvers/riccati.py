@@ -12,8 +12,11 @@ Cost semantics match the condensed assembly (`lqp_repr_Pq` without slew):
     s.t.  x_j = c_j + A_j x_{j-1} + B_j u_j,   x_0 given,
 with Qt = Q + reg_x I, xt = Q X_ref + reg_x X_prev (etc.).
 
-Single-particle; vmap over particles/batches. Consensus (shared controls) and
-slew coupling need the condensed path or state augmentation — asserted out.
+Single-particle; vmap over particles/batches. Consensus (shared controls) is
+handled by the theta-parameterized sweep below; slew coupling by
+`augment_slew_stages` state augmentation (carry (u_j, u_{j-1}) in the stage
+state — the reference's tridiagonal slew coupling, ``lqp_utils.jl:26-103``,
+at O(N) for any horizon).
 Also returns the affine feedback gains (K_j, k_j), the control law the
 reference exposes through rollouts (``types.jl:181-201``).
 """
@@ -110,6 +113,48 @@ def _scp_stage_terms(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
     xt = jnp.einsum("nij,nj->ni", Q, X_ref) + reg_x * X_prev
     ut = jnp.einsum("nij,nj->ni", R, U_ref) + reg_u * U_prev
     return c, Qt, xt, Rt, ut
+
+
+def augment_slew_stages(x0, c, A, B, Qt, xt, slew_reg, slew_reg0, slew_um1):
+    """Carry (u_j, u_{j-1}) in the stage state so slew coupling becomes a
+    pure per-stage STATE cost — the O(N) route to the reference's
+    tridiagonal slew coupling (``lqp_utils.jl:26-103``), which the condensed
+    path encodes densely and the plain stage sweep cannot express.
+
+    Augmented state x~_j = [x_j; u_j; u_{j-1}] with dynamics
+
+        x~_j = A~_j x~_{j-1} + B~_j u_j + c~_j,
+        A~ = [[A,0,0],[0,0,0],[0,I,0]],  B~ = [B; I; 0],  c~ = [c; 0; 0],
+
+    and per-stage state cost 0.5 w_j ||u_j - u_{j-1}||^2 with w_0 = slew_reg0
+    (anchor ``slew_um1`` enters through x~_{-1} = [x0; slew_um1; 0]) and
+    w_j = slew_reg for j >= 1 — exactly the reference cost semantics
+    (`reduced.py` docstring). Single particle; vmap over M.
+
+    Returns (x0_a, c_a, A_a, B_a, Qt_a, xt_a) with xdim_a = xdim + 2 udim."""
+    N, xdim = c.shape
+    udim = B.shape[-1]
+    dtype = c.dtype
+    na = xdim + 2 * udim
+    eye_u = jnp.eye(udim, dtype=dtype)
+    A_a = jnp.zeros((N, na, na), dtype)
+    A_a = A_a.at[:, :xdim, :xdim].set(A)
+    A_a = A_a.at[:, xdim + udim:, xdim:xdim + udim].set(eye_u)
+    B_a = jnp.zeros((N, na, udim), dtype)
+    B_a = B_a.at[:, :xdim, :].set(B)
+    B_a = B_a.at[:, xdim:xdim + udim, :].set(eye_u)
+    c_a = jnp.zeros((N, na), dtype).at[:, :xdim].set(c)
+    w = jnp.where(jnp.arange(N) == 0, slew_reg0, slew_reg)  # (N,)
+    Qt_a = jnp.zeros((N, na, na), dtype)
+    Qt_a = Qt_a.at[:, :xdim, :xdim].set(Qt)
+    wI = w[:, None, None] * eye_u
+    Qt_a = Qt_a.at[:, xdim:xdim + udim, xdim:xdim + udim].set(wI)
+    Qt_a = Qt_a.at[:, xdim + udim:, xdim + udim:].set(wI)
+    Qt_a = Qt_a.at[:, xdim:xdim + udim, xdim + udim:].set(-wI)
+    Qt_a = Qt_a.at[:, xdim + udim:, xdim:xdim + udim].set(-wI)
+    xt_a = jnp.zeros((N, na), dtype).at[:, :xdim].set(xt)
+    x0_a = jnp.concatenate([x0, slew_um1, jnp.zeros((udim,), dtype)])
+    return x0_a, c_a, A_a, B_a, Qt_a, xt_a
 
 
 def _theta_backward(x0, c, A, B, Qt, xt, Rt, ut, Nc: int):
@@ -222,27 +267,36 @@ def _theta_forward(x0, c, A, B, theta, gains):
 @partial(jax.jit, static_argnames=("Nc",))
 @with_matmul_precision("highest")
 def riccati_consensus_solve(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
-                            reg_x, reg_u, Nc: int):
+                            reg_x, reg_u, Nc: int,
+                            slew_reg=None, slew_reg0=None, slew_um1=None):
     """O(N) consensus solve of the joint M-particle SCP subproblem (eq-only).
 
     All inputs batched over the leading particle axis M. The consensus system
     over theta (the shared first-Nc controls) is the SUM over particles of the
     per-particle theta-quadratics — the Schur complement of the arrow system,
     computed without ever materializing the O(N^2) condensed ``Ft``.
+    Slew coupling (optional (M,) ``slew_reg``/``slew_reg0`` + (M, udim)
+    ``slew_um1``) is handled by `augment_slew_stages` state augmentation.
     Returns (X (M,N,xdim), U (M,N,udim)).
     """
+    xdim = x0.shape[-1]
     c, Qt, xt, Rt, ut = jax.vmap(
         lambda x0_, f_, fx_, fu_, Xp, Up, Q_, R_, Xr, Ur, rx, ru:
         _scp_stage_terms(x0_, f_, fx_, fu_, Xp, Up, Q_, R_, Xr, Ur, rx, ru)
     )(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref, reg_x, reg_u)
+    A, B = fx, fu
+    x0s = x0
+    if slew_reg is not None:
+        x0s, c, A, B, Qt, xt = jax.vmap(augment_slew_stages)(
+            x0, c, A, B, Qt, xt, slew_reg, slew_reg0, slew_um1)
 
     S, s, gains = jax.vmap(partial(_theta_backward, Nc=Nc))(
-        x0, c, fx, fu, Qt, xt, Rt, ut)
+        x0s, c, A, B, Qt, xt, Rt, ut)
     # consensus reduction: sum the theta-quadratics over particles
     S_tot = jnp.sum(S, axis=0)
     s_tot = jnp.sum(s, axis=0)
     theta = -psd_solve(S_tot, s_tot) if S_tot.shape[-1] else s_tot
 
     X, U = jax.vmap(lambda x0_, c_, A_, B_, g: _theta_forward(x0_, c_, A_, B_, theta, g)
-                    )(x0, c, fx, fu, gains)
-    return X, U
+                    )(x0s, c, A, B, gains)
+    return X[..., :xdim], U

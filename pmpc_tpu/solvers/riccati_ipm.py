@@ -26,7 +26,8 @@ particles x scenarios.
 Role parity: long-horizon replacement for the reference's sparse CPU
 factorizations (block-bidiagonal equality chains handed to ECOS/OSQP,
 ``PMPC.jl/src/lqp_utils.jl:219-303``); SURVEY §5 long-context note. Slew
-coupling and state boxes need the condensed path (gated by the dispatcher).
+coupling enters via `riccati.augment_slew_stages` state augmentation; state
+boxes and cones need the condensed path (gated by the dispatcher).
 """
 
 from __future__ import annotations
@@ -489,6 +490,15 @@ def riccati_ipm_solve_np(
         r = min(float(r_scp), 1e3)
         tol_dyn = jnp.asarray(min(1e-3 * r * r, 1e-3), dtype=dtype)
 
+    # slew coupling present (host numpy check -> static trace shape): route
+    # through the augmented stage state
+    has_slew = any(np.any(np.asarray(a) != 0) for a in reg_args[2:4])
+    slew_kw = {}
+    if has_slew:
+        slew_kw = dict(
+            slew_reg=jnp.asarray(np.asarray(reg_args[2], dtype=dtype)),
+            slew_reg0=jnp.asarray(np.asarray(reg_args[3], dtype=dtype)),
+            slew_um1=jnp.asarray(np.asarray(reg_args[4], dtype=dtype)))
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
@@ -497,7 +507,7 @@ def riccati_ipm_solve_np(
         Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
-             else None))
+             else None), **slew_kw)
     # one device->host transfer (see ipm_solve_np): per-array pulls are
     # blocking round trips through a remote-TPU tunnel
     (X, U, th_h, uf_h, s_h, lam_h, mu_h, it_h, conv_h, fail_h) = \
@@ -515,16 +525,28 @@ def riccati_ipm_solve_np(
 
 
 def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
-                          reg_x, reg_u, u_l, u_u, Nc: int, **kw):
+                          reg_x, reg_u, u_l, u_u, Nc: int,
+                          slew_reg=None, slew_reg0=None, slew_um1=None, **kw):
     """One box-constrained SCP subproblem via the stage-structured IPM.
 
     Batched over the leading particle axis; bounds (M, N, udim) with the
-    consensus stages taking particle 0's rows. Returns (X, U, stats)."""
+    consensus stages taking particle 0's rows. Slew coupling (optional,
+    (M,)/(M, udim) arrays) enters via `riccati.augment_slew_stages` state
+    augmentation — the bounds/IPM layout is control-space and unchanged.
+    Returns (X, U, stats)."""
+    from .riccati import augment_slew_stages
+
     M, N = f.shape[0], f.shape[1]
+    xdim = x0.shape[-1]
     udim = U_prev.shape[-1]
     dtype = f.dtype
     c, Qt, xt, Rt, ut = jax.vmap(_scp_stage_terms)(
         x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref, reg_x, reg_u)
+    A, B = fx, fu
+    x0s = x0
+    if slew_reg is not None:
+        x0s, c, A, B, Qt, xt = jax.vmap(augment_slew_stages)(
+            x0, c, A, B, Qt, xt, slew_reg, slew_reg0, slew_um1)
     nc = Nc * udim
     nct = max(nc, 1)
     ul = u_l.reshape(M, N * udim)
@@ -535,8 +557,8 @@ def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
         lo_c = jnp.full((nct,), -jnp.inf, dtype)
         hi_c = jnp.full((nct,), jnp.inf, dtype)
     theta, uf, stats = riccati_ipm_core(
-        x0, c, fx, fu, Qt, xt, Rt, ut,
+        x0s, c, A, B, Qt, xt, Rt, ut,
         lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc, **kw)
     _, _, _, maskc = _selectors(N, Nc, udim, dtype)
-    X, U = recover_XU_stage(theta, uf, x0, c, fx, fu, Nc, maskc)
-    return X, U, dict(stats, theta=theta, uf=uf)
+    X, U = recover_XU_stage(theta, uf, x0s, c, A, B, Nc, maskc)
+    return X[..., :xdim], U, dict(stats, theta=theta, uf=uf)

@@ -120,9 +120,11 @@ def test_fuzz_consensus_qp_routes(seed):
     _run_case(seed)
 
 
-def test_u_soc_r_unsupported_combinations_raise():
+def test_u_soc_r_combinations_enforce_cones():
     """u_soc_r must never be silently dropped: the CVaR and extras branches
-    refuse the combination instead of returning cone-violating controls."""
+    now COMPOSE the thrust cones into the same cone program (previously a
+    NotImplementedError); the returned controls must respect every cone.
+    Genuinely smooth-objective combinations still refuse loudly."""
     import pytest
 
     rng = np.random.default_rng(77)
@@ -136,18 +138,34 @@ def test_u_soc_r_unsupported_combinations_raise():
     args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
             p["Q"], p["R"], p["X_ref"], p["U_ref"])
     r = np.full((M, N), 0.5)
-    n_full = N * udim * M + M * N * xdim  # anything nonempty works here
-    ec = (1, [], 0, np.zeros((1, 12)), np.zeros((1, 0)), np.ones(1),
-          np.zeros(12), np.zeros(0))
-    with pytest.raises(NotImplementedError):
-        affine_solve_np(*args, **common, settings=dict(u_soc_r=r, k=1))
-    with pytest.raises(NotImplementedError):
-        affine_solve_np(*args, **common,
-                        settings=dict(u_soc_r=r, extra_cstrs=[ec]))
+    nu_total = 1 * udim + M * (N - 1) * udim
+    n_full = nu_total + M * N * xdim
+    g = np.zeros((1, n_full))
+    g[0, :udim] = 1.0
+    ec = (1, [], 0, g, np.zeros((1, 0)), np.array([0.2]),
+          np.zeros(n_full), np.zeros(0))
+
+    _, U1, d1 = affine_solve_np(*args, **common,
+                                settings=dict(u_soc_r=r, k=1))
+    assert d1["ipm_converged"]
+    assert np.linalg.norm(U1, axis=-1).max() <= 0.5 + 1e-6
+
+    _, U2, d2 = affine_solve_np(*args, **common,
+                                settings=dict(u_soc_r=r, extra_cstrs=[ec]))
+    assert d2["ipm_converged"]
+    assert np.linalg.norm(U2, axis=-1).max() <= 0.5 + 1e-6
+    assert g[0, :nu_total] @ np.concatenate(
+        [U2[0, :1].reshape(-1), U2[:, 1:].reshape(-1)]) <= 0.2 + 1e-6
+
     with pytest.raises(NotImplementedError):
         affine_solve_np(*args, **common,
                         settings=dict(u_soc_r=r, smooth_cstr="logbarrier",
-                                      smooth_alpha=10.0, solver="CVX"))
+                                      smooth_alpha=10.0, solver="CVX",
+                                      extra_cstrs=[ec]))
+    with pytest.raises(NotImplementedError):
+        affine_solve_np(*args, **common,
+                        settings=dict(u_soc_r=r,
+                                      diff_cost_fn=lambda X, U: 0.0))
 
 
 def test_batch_heterogeneous_scalars_fall_back_to_serial():

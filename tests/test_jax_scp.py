@@ -122,3 +122,49 @@ def test_has_u_bounds_false_ignores_finite_bound_arrays():
     assert np.abs(U).max() > 1e-2, "u bounds must be ignored when has_u=False"
     # the x bounds ARE active
     assert np.asarray(X)[:, 1:].max() <= 1.0 + 1e-4
+
+
+def test_return_state_warm_starts_across_calls():
+    """Receding-horizon contract: build_scp_solver(return_state=True) returns
+    the final IPM primal/dual/slack point and accepts it on the next call —
+    the warm-started step must converge in fewer SCP iterations than the
+    cold-started one (role of the reference's solver_state threading,
+    pmpc/scp_mpc.py:366-373)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
+    from fixtures import unicycle_step
+
+    M, N, xdim, udim, Nc = 4, 12, 4, 2, 3
+    solver = build_scp_solver(unicycle_step, N=N, xdim=xdim, udim=udim, M=M,
+                              Nc=Nc, max_it=40, res_tol=1e-5,
+                              has_u_bounds=True, return_state=True)
+    rng = np.random.default_rng(5)
+    x0 = np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim))
+    mk = lambda x0_, Xp, Up: make_scp_data(
+        x0_, np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        X_prev=Xp, U_prev=Up,
+        u_l=-0.7 * np.ones((M, N, udim)), u_u=0.7 * np.ones((M, N, udim)),
+        dtype=jnp.float64)
+    d0 = mk(x0, None, None)
+    X, U, info0 = solver(d0, None)
+    assert bool(info0["converged"])
+    state = info0["solver_state"]
+    assert state is not None and all(np.isfinite(np.asarray(s)).all()
+                                     for s in state)
+    # next control step: slightly advanced x0, shifted plan
+    x1 = x0 + 0.02
+    Xs = np.asarray(X[:, 2:])
+    Xp = np.concatenate([Xs, Xs[:, -1:]], axis=1)
+    Us = np.asarray(U[:, 1:])
+    Up = np.concatenate([Us, Us[:, -1:]], axis=1)
+    d1 = mk(x1, Xp, Up)
+    _, U_cold, i_cold = solver(d1, None)
+    _, U_warm, i_warm = solver(d1, state)
+    assert bool(i_cold["converged"]) and bool(i_warm["converged"])
+    # same answer, fewer (or equal) SCP iterations, and strictly fewer on
+    # this fixture
+    np.testing.assert_allclose(np.asarray(U_warm), np.asarray(U_cold),
+                               atol=1e-5)
+    assert int(i_warm["iters"]) <= int(i_cold["iters"])

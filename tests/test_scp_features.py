@@ -101,3 +101,46 @@ def test_registered_function_cache():
     rf2 = RegisteredFunction(fn)
     assert rf2(4) == 8  # dispatches through the registry by hash
     assert calls == [3, 4]
+
+
+def test_f32_stall_guardrail_triggers_and_stays_silent():
+    """The documented f32 failure signature (SCP residual plateau >=10x
+    res_tol, benchmarks/RESULTS_r2.md 'f32 envelope') must surface as
+    data['f32_stall_suspected'] + a RuntimeWarning suggesting f64; a
+    well-conditioned f32 solve must stay silent."""
+    import warnings
+
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    f_fn = dubins_f_fx_fu_fn()
+    xdim, udim = 4, 2
+
+    # hard instance from the envelope sweep class: N=36, M=8, scattered x0
+    M, N = 8, 36
+    rng = np.random.default_rng(11)
+    Q = np.tile(np.eye(xdim), (M, N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (M, N, 1, 1))
+    x0 = np.concatenate([rng.normal(size=(M, 2)) * 2.0,
+                         1.0 + 0.3 * rng.normal(size=(M, 1)),
+                         rng.normal(size=(M, 1))], axis=1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        X, U, d = pmpc_tpu.solve(
+            f_fn, Q, R, x0, max_it=25, res_tol=1e-5, verbose=False,
+            u_l=-np.ones((M, N, udim)), u_u=np.ones((M, N, udim)),
+            solver_settings=dict(dtype=np.float32))
+    assert d.get("f32_stall_suspected") is True
+    assert any("float64" in str(x.message) for x in w)
+
+    # easy instance: converges in f32, no flag, no warning
+    M2, N2 = 2, 10
+    Q2 = np.tile(np.eye(xdim), (M2, N2, 1, 1))
+    R2 = np.tile(1e-2 * np.eye(udim), (M2, N2, 1, 1))
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        X2, U2, d2 = pmpc_tpu.solve(
+            f_fn, Q2, R2, np.ones((M2, xdim)), max_it=25, res_tol=1e-4,
+            verbose=False, solver_settings=dict(dtype=np.float32))
+    assert "f32_stall_suspected" not in d2
+    assert not any("plateaued" in str(x.message) for x in w2)
