@@ -109,6 +109,8 @@ def build_scp_solver(
     jit: bool = True,
     collect_stats: bool = False,
     adaptive_tol: bool = True,
+    adaptive_cap: float = 3e-2,
+    ipm_gondzio: int = 0,
     ipm_tau: Optional[float] = None,
     has_u_soc: bool = False,
     method: str = "condensed",
@@ -197,7 +199,8 @@ def build_scp_solver(
                 tol_dyn = None
                 if adaptive_tol:
                     r = jnp.minimum(resid, 1e3)
-                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
+                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0,
+                                       adaptive_cap).astype(dt)
                 X, U, stats = riccati_ipm_solve_scp(
                     data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
                     X_ref, U_ref, data.reg_x, data.reg_u,
@@ -255,7 +258,8 @@ def build_scp_solver(
                 tol_dyn = None
                 if adaptive_tol:
                     r = jnp.minimum(resid, 1e3)  # resid starts at +inf
-                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(dt)
+                    tol_dyn = jnp.clip(1e-3 * r * r, 0.0,
+                                       adaptive_cap).astype(dt)
                 socs = None
                 if has_u_soc:
                     from .solvers.ipm import SocSpec
@@ -272,6 +276,7 @@ def build_scp_solver(
                     tol_dynamic=tol_dyn,
                     tau=ipm_tau,
                     socs=socs, has_soc=has_u_soc,
+                    gondzio=ipm_gondzio,
                 )
                 if warm_start:
                     warm_new = (uc, uf, stats["s"], stats["lam"])
@@ -323,7 +328,7 @@ def build_scp_solver(
         return (X_out, U_out, it_out, done | now_done, resid_out, resid_m_out,
                 warm_out), ys
 
-    @with_matmul_precision("highest")
+    @with_matmul_precision("high")
     def solver(data: SCPData, state=None):
         """``state``: the IPM primal/dual/slack tuple a previous call returned
         in ``info["solver_state"]`` (when built with ``return_state=True``) —

@@ -147,7 +147,7 @@ def particle_H_q(
 
 
 @partial(jax.jit, static_argnames=("Nc", "scale_slew_target"))
-@with_matmul_precision("highest")
+@with_matmul_precision("high")
 def assemble_condensed(
     x0,
     f,
@@ -295,7 +295,7 @@ def solve_arrow(Hcc, Hcf, Hff, qc, qf, jitter: float = 0.0):
 
 
 @partial(jax.jit, static_argnames=("refine",))
-@with_matmul_precision("highest")
+@with_matmul_precision("high")
 def solve_eq(cqp: CondensedQP, refine: int = 2):
     """Solve the unconstrained condensed QP. Returns (uc, uf).
 
@@ -319,7 +319,7 @@ def z_to_w(uc: jax.Array, uf: jax.Array, M: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("N",))
-@with_matmul_precision("highest")
+@with_matmul_precision("high")
 def recover_XU(cqp: CondensedQP, uc: jax.Array, uf: jax.Array, N: int):
     """Recover (X (M,N,xdim), U (M,N,udim)) from the consensus solution."""
     M = cqp.M

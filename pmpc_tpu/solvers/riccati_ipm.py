@@ -231,7 +231,7 @@ class RIPMState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("Nc", "iters", "tol_exp", "kappa", "tau"))
-@with_matmul_precision("highest")
+@with_matmul_precision("high")
 def riccati_ipm_core(
     x0, c, A, B, Qt, xt, Rt, ut,
     lo_c, hi_c, lo_f, hi_f,

@@ -126,9 +126,17 @@ def with_matmul_precision(prec: str):
     """Decorator: trace the wrapped function under ``jax.default_matmul_precision``.
 
     On TPU, float32 matmuls default to single-pass bfloat16 MXU execution
-    (~8 mantissa bits) — catastrophic for an interior-point solver. The solver
-    cores are traced under 'highest' (6-pass, full f32 accuracy); the context
-    participates in the jit cache key so this is safe under jit."""
+    (~8 mantissa bits) — catastrophic for an interior-point solver. Policy
+    (override everything with env PMPC_TPU_MATMUL_PRECISION):
+
+    - the f32 HOT cores (fused SCP loop, condensed assembly, box IPM,
+      riccati sweeps) run at 'high' (3-pass bf16, ~f32-faithful products):
+      +12%% flagship throughput over 'highest' with the accuracy envelope
+      intact — flagship probe 8.1e-4 and 8/8 + 8/8 hard-instance sweeps
+      within the 1e-3 BASELINE tolerance (benchmarks/ab_precision notes in
+      RESULTS_r3.md),
+    - accuracy-critical / f64-host cores (cone IPM, exp barrier, smooth
+      Newton, sensitivities) stay at 'highest' (6-pass, full f32)."""
     import functools
 
     import jax

@@ -21,7 +21,7 @@ def _mk_problem(seed, M=3, N=8, xdim=4, udim=2, **ss):
         f_fx_fu_fn=f_fn,
         Q=np.tile(np.eye(xdim), (M, N, 1, 1)),
         R=np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
-        x0=x0, max_it=30, res_tol=1e-5,
+        x0=x0, max_it=20, res_tol=5e-4,
         u_l=-np.ones((M, N, udim)), u_u=np.ones((M, N, udim)),
         solver_settings=dict(Nc=3, **ss))
 

@@ -140,7 +140,7 @@ def test_f32_stall_guardrail_triggers_and_stays_silent():
     with warnings.catch_warnings(record=True) as w2:
         warnings.simplefilter("always")
         X2, U2, d2 = pmpc_tpu.solve(
-            f_fn, Q2, R2, np.ones((M2, xdim)), max_it=25, res_tol=1e-4,
+            f_fn, Q2, R2, np.ones((M2, xdim)), max_it=20, res_tol=1e-4,
             verbose=False, solver_settings=dict(dtype=np.float32))
     assert "f32_stall_suspected" not in d2
     assert not any("plateaued" in str(x.message) for x in w2)
