@@ -28,7 +28,8 @@ from jax import lax
 from .dynamics import linearize
 from .solvers.ipm import BoxBounds, ipm_core
 from .solvers.reduced import assemble_condensed, recover_XU, solve_eq
-from .utils import with_matmul_precision
+from .utils import (with_matmul_precision, hot_matmul_precision,
+                    hot_precision_scope)
 
 
 class SCPData(NamedTuple):
@@ -397,5 +398,22 @@ def build_scp_solver(
         if return_state:
             info["solver_state"] = warm_fin
         return X_traj, U, info
+
+    # size-aware hot-core precision: the condensed path factors (nf x nf)
+    # per-particle blocks every IPM iteration; past nf~64 the 3-pass 'high'
+    # factor error inflates iteration counts and loses outright (measured:
+    # config5 nf=90 74.6 vs 44.4 its/solve — see utils.hot_matmul_precision).
+    # The scope upgrades every nested with_matmul_precision("high") core to
+    # 'highest' at trace time; it is only entered for the upgrade case so the
+    # small-block fast path keeps its static decorators untouched.
+    prec = "high"
+    if method == "condensed":
+        prec = hot_matmul_precision(max((N - Nc) * udim, Nc * udim, 1))
+    if prec != "high":
+        inner = solver
+
+        def solver(data: SCPData, state=None):  # noqa: F811
+            with hot_precision_scope(prec):
+                return inner(data, state)
 
     return jax.jit(solver) if jit else solver

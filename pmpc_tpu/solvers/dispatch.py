@@ -228,6 +228,20 @@ def affine_solve_np(
         jnp.asarray(X_prev), jnp.asarray(U_prev), jnp.asarray(Q), jnp.asarray(R),
         jnp.asarray(X_ref), jnp.asarray(U_ref),
     )
+    # size-aware hot-core precision for the condensed host paths (same policy
+    # as the fused loop, see utils.hot_matmul_precision): past nf~64 the
+    # 3-pass 'high' Cholesky error inflates IPM iteration counts, so big
+    # blocks are upgraded to 'highest' at trace time. Only the upgrade case
+    # enters the scope; the riccati stage-structured paths keep their static
+    # 'high' (their factor blocks are udim-sized regardless of N).
+    import contextlib
+
+    from ..utils import hot_matmul_precision, hot_precision_scope
+
+    _udim = fu.shape[-1]
+    _prec = hot_matmul_precision(max((N - Nc) * _udim, Nc * _udim, 1))
+    _hot = ((lambda: hot_precision_scope(_prec)) if _prec != "high"
+            else (lambda: contextlib.nullcontext()))
     reg_args = (
         jnp.asarray(reg_x), jnp.asarray(reg_u),
         jnp.asarray(slew_reg), jnp.asarray(slew_reg0), jnp.asarray(slew_um1),
@@ -338,11 +352,13 @@ def affine_solve_np(
                 *base_args, reg_args[0], reg_args[1], Nc=Nc, **slew_kw)
             return (np.asarray(X), np.asarray(U),
                     dict(solver_state=settings.get("solver_state")))
-        cqp = assemble_condensed(
-            *base_args, *reg_args, Nc=Nc, weights=weights,
-            scale_slew_target=bool(settings.get("weights_scale_slew_target", True)))
-        uc, uf = solve_eq(cqp)
-        X, U = recover_XU(cqp, uc, uf, N=N)
+        with _hot():
+            cqp = assemble_condensed(
+                *base_args, *reg_args, Nc=Nc, weights=weights,
+                scale_slew_target=bool(
+                    settings.get("weights_scale_slew_target", True)))
+            uc, uf = solve_eq(cqp)
+            X, U = recover_XU(cqp, uc, uf, N=N)
         data: Dict[str, Any] = dict(solver_state=settings.get("solver_state"))
         return np.asarray(X), np.asarray(U), data
 
@@ -362,10 +378,12 @@ def affine_solve_np(
         # at mu = 1/alpha of the same box QP: reuse the IPM with a mu floor
         from .ipm import ipm_solve_np
 
-        return ipm_solve_np(
-            base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
-            settings=dict(settings, mu_target=1.0 / alpha),
-        )
+        with _hot():
+            return ipm_solve_np(
+                base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc,
+                weights=weights,
+                settings=dict(settings, mu_target=1.0 / alpha),
+            )
 
     if smooth_cstr == "squareplus":
         from .barrier import barrier_solve_np
@@ -380,7 +398,8 @@ def affine_solve_np(
 
     from .ipm import ipm_solve_np
 
-    return ipm_solve_np(
-        base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
-        settings=settings,
-    )
+    with _hot():
+        return ipm_solve_np(
+            base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
+            settings=settings,
+        )

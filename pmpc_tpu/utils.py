@@ -122,6 +122,42 @@ def to_numpy_f64(x):
     return arr if arr.dtype == np.float64 else arr.astype(np.float64)
 
 
+import contextvars
+
+_PREC_OVERRIDE: "contextvars.ContextVar" = contextvars.ContextVar(
+    "pmpc_tpu_matmul_precision", default=None)
+
+
+def hot_matmul_precision(n: int) -> str:
+    """Size-dependent precision policy for the f32 hot cores.
+
+    Measured on the chip (benchmarks/ab_forcing_out.txt): at the flagship
+    block size (nf=50) 'high' (3-pass bf16) is accuracy-neutral and +12%
+    throughput, but at the pod-scale block size (nf=90) the 3-pass factor
+    error inflates the IPM iteration count ~70% (74.6 vs 44.4 its/solve) and
+    LOSES 25% — the error of an n x n Cholesky grows with n while the flop
+    saving is constant. Crossover bracketed between 50 and 90."""
+    return "high" if n <= 64 else "highest"
+
+
+class hot_precision_scope:
+    """Context manager: override the hot cores' traced matmul precision
+    (consulted by every `with_matmul_precision` wrapper below; the env var
+    PMPC_TPU_MATMUL_PRECISION still wins over everything)."""
+
+    def __init__(self, prec: Optional[str]):
+        self.prec = prec
+        self._tok = None
+
+    def __enter__(self):
+        self._tok = _PREC_OVERRIDE.set(self.prec)
+        return self
+
+    def __exit__(self, *exc):
+        _PREC_OVERRIDE.reset(self._tok)
+        return False
+
+
 def with_matmul_precision(prec: str):
     """Decorator: trace the wrapped function under ``jax.default_matmul_precision``.
 
@@ -146,7 +182,9 @@ def with_matmul_precision(prec: str):
         def wrapper(*args, **kwargs):
             import os
 
-            actual = os.environ.get("PMPC_TPU_MATMUL_PRECISION", prec)
+            actual = os.environ.get(
+                "PMPC_TPU_MATMUL_PRECISION",
+                _PREC_OVERRIDE.get() or prec)
             with jax.default_matmul_precision(actual):
                 return fn(*args, **kwargs)
 
