@@ -63,51 +63,97 @@ def fits_vmem(n: int) -> bool:
     return n > 0 and (_fits_small(n) or _fits_big(n))
 
 
+PW = 8  # panel width for the blocked factor: one sublane tile, so every
+#         column slice the panel loop takes is 8-aligned
+
+
+def _blocked_factor(n: int, M_ref, L_ref):
+    """Blocked right-looking Cholesky, batch on lanes, columns stored into
+    ``L_ref`` (or in place into ``M_ref`` when ``L_ref is None``).
+
+    The naive column algorithm downdates the FULL (n, n, TB) block every
+    column (n^3 elementwise FMAs); panels of PW columns restrict the rank-1s
+    to the panel (rows >= c0) and apply one rank-PW downdate to only the
+    TRAILING (n-c1, n-c1, TB) submatrix per panel — sum_p PW*(n-PW(p+1))^2
+    ~= n^3/3, a ~2.7x op reduction that the VPU-roofline-bound kernel
+    converts directly into time (measured in benchmarks/ab_pallas90.py)."""
+    dst = M_ref if L_ref is None else L_ref
+    for p in range(-(-n // PW)):
+        c0, c1 = PW * p, min(PW * (p + 1), n)
+        for j in range(c0, c1):
+            # exact sqrt + divide (lax.rsqrt is an approximate VPU op on TPU
+            # and measurably degrades the factor); a non-positive pivot (not
+            # SPD) yields NaN so the IPM's non-finite freeze guards catch
+            # breakdown
+            piv = M_ref[j, j, :]
+            d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
+            col = M_ref[c0:, j, :] / d[None, :]  # (n - c0, TB)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (n - c0, 1), 0) + c0
+            col = jnp.where(rows >= j, col, 0.0)
+            if j + 1 < c1:
+                # rank-1 downdate of the REMAINING PANEL columns only (rows
+                # above j are masked to zero in col, so upper-triangle slots
+                # absorb garbage that is never read)
+                colP = col[j + 1 - c0:c1 - c0]  # (c1-j-1, TB)
+                M_ref[c0:, j + 1:c1, :] = M_ref[c0:, j + 1:c1, :] \
+                    - col[:, None, :] * colP[None, :, :]
+            dst[c0:, j, :] = col
+        if c1 < n:
+            # rank-PW downdate of the trailing submatrix from the finished
+            # panel's below-panel rows (one rank-1 per panel column)
+            for k in range(c0, c1):
+                v = dst[c1:, k, :]  # (n - c1, TB)
+                M_ref[c1:, c1:, :] = M_ref[c1:, c1:, :] \
+                    - v[:, None, :] * v[None, :, :]
+
+
+def _blocked_substitution(n: int, M_ref, L_ref):
+    """Forward substitution M = L^{-1}, rows top-down into ``M_ref``.
+
+    Row i of the inverse factor is nonzero only in columns <= i: restricting
+    the accumulation (and the unit rhs) to the leading 8-aligned column cap
+    cuts the op count from n^3/2 to ~n^3/3. Columns past the cap are stored
+    as explicit zeros — the applies outside consume Minv as a DENSE operand
+    of two batched GEMMs (`ops.block_chol.inv_chol_apply`)."""
+    L = M_ref if L_ref is None else L_ref
+    for i in range(n):
+        d = L[i, i, :]  # L[i,i], read before row i may be overwritten
+        ccap = min(-(-(i + 1) // PW) * PW, n)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (ccap, TB), 0)
+        e = jnp.where(col_ids == i, 1.0, 0.0).astype(L.dtype)
+        if i > 0:
+            # in-place: L row i lives in M_ref[i, :i] (column-stored factor)
+            # and Minv rows < i are already rewritten — row i reads only
+            # not-yet-overwritten parts of itself
+            Lrow = L[i, :, :]  # (n, TB)
+            acc = jnp.sum(Lrow[:i][:, None, :] * M_ref[:i, :ccap, :], axis=0)
+            e = e - acc
+        M_ref[i, :ccap, :] = e / d[None, :]
+        if ccap < n:
+            M_ref[i, ccap:, :] = jnp.zeros((n - ccap, TB), L.dtype)
+
+
 def _chol_inv_kernel_small(n: int, jitter: float, A_ref, M_ref, L):
     # The OUTPUT block doubles as the factorization workspace: the downdate
-    # loop consumes the copied A to ~0, then the forward substitution
-    # overwrites its rows top-down with Minv (row i reads only rows < i,
-    # already rewritten). (A_ref is additionally HBM-aliased with M_ref,
-    # which saves the HBM copy; the VMEM in/out blocks are still distinct,
-    # hence the explicit copy.)
+    # loops consume the copied A, then the forward substitution overwrites
+    # its rows top-down with Minv (row i reads only rows < i, already
+    # rewritten). (A_ref is additionally HBM-aliased with M_ref, which saves
+    # the HBM copy; the VMEM in/out blocks are still distinct, hence the
+    # explicit copy.)
     M_ref[...] = A_ref[...]
     if jitter:
         for j in range(n):
             M_ref[j, j, :] = M_ref[j, j, :] + jitter
-
-    # column (outer-product) Cholesky, batch on lanes
-    for j in range(n):
-        # exact sqrt + divide (lax.rsqrt is an approximate VPU op on TPU and
-        # measurably degrades the factor); a non-positive pivot (not SPD)
-        # yields NaN so the IPM's non-finite freeze guards catch breakdown
-        piv = M_ref[j, j, :]
-        d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
-        col = M_ref[:, j, :] / d[None, :]  # (n, TB)
-        mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
-        col = jnp.where(mask, col, 0.0)
-        L[:, j, :] = col
-        M_ref[...] = M_ref[...] - col[:, None, :] * col[None, :, :]
-
-    # forward substitution: row i of Minv solves L[i,:i] M[:i,:] + L[i,i] M[i,:] = e_i
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    for i in range(n):
-        e = jnp.where(row_ids == i, 1.0, 0.0).astype(M_ref.dtype)
-        if i > 0:
-            # sum_k<i L[i,k,:] * M[k,:,:]  -> (n, TB)
-            Lrow = L[i, :, :]  # (n, TB) value (refs don't take None indices)
-            acc = jnp.sum(Lrow[:i][:, None, :] * M_ref[:i, :, :], axis=0)
-            e = e - acc
-        M_ref[i, :, :] = e / L[i, i, :][None, :]
+    _blocked_factor(n, M_ref, L)
+    _blocked_substitution(n, M_ref, L)
 
 
 def _chol_inv_kernel_big(n: int, jitter: float, A_ref, M_ref, sem):
     # The OUTPUT block is the ONLY VMEM buffer: the input batch tile is DMA'd
-    # from HBM straight into it, the factorization runs fully in place (the
-    # downdate at step j only touches the (>= j, >= j) trailing submatrix, so
-    # finished L columns — written into column j right after its downdate —
-    # are never disturbed), and the forward substitution then overwrites the
-    # rows top-down with Minv (row i reads L[i, :i] from its own not-yet-
-    # rewritten row, Minv rows < i already rewritten, and the L diagonal).
+    # from HBM straight into it, the factorization runs fully in place
+    # (downdates only ever touch the trailing submatrix, so finished L
+    # columns are never disturbed), and the forward substitution then
+    # overwrites the rows top-down with Minv.
     i = pl.program_id(0)
     cp = pltpu.make_async_copy(
         A_ref.at[:, :, pl.ds(i * TB, TB)], M_ref, sem)
@@ -116,31 +162,8 @@ def _chol_inv_kernel_big(n: int, jitter: float, A_ref, M_ref, sem):
     if jitter:
         for j in range(n):
             M_ref[j, j, :] = M_ref[j, j, :] + jitter
-
-    # column (outer-product) Cholesky, batch on lanes, in place
-    for j in range(n):
-        piv = M_ref[j, j, :]
-        d = jnp.sqrt(jnp.where(piv > 0, piv, jnp.nan))  # (TB,)
-        col = M_ref[:, j, :] / d[None, :]  # (n, TB)
-        mask = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) >= j)
-        col = jnp.where(mask, col, 0.0)
-        # rank-1 downdate first (col is zero at indices < j, so the update
-        # vanishes on every finished row/column), then store L column j —
-        # the downdate would otherwise zero it out (S[i,j] -= col_i * d)
-        M_ref[...] = M_ref[...] - col[:, None, :] * col[None, :, :]
-        M_ref[:, j, :] = col
-
-    # forward substitution, in place: L row i lives in M_ref[i, :i]
-    # (column-stored factor), Minv rows < i are already rewritten above
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (n, TB), 0)
-    for i in range(n):
-        d = M_ref[i, i, :]  # L[i,i], read before row i is overwritten
-        e = jnp.where(row_ids == i, 1.0, 0.0).astype(M_ref.dtype)
-        if i > 0:
-            Lrow = M_ref[i, :, :]  # (n, TB)
-            acc = jnp.sum(Lrow[:i][:, None, :] * M_ref[:i, :, :], axis=0)
-            e = e - acc
-        M_ref[i, :, :] = e / d[None, :]
+    _blocked_factor(n, M_ref, None)
+    _blocked_substitution(n, M_ref, None)
 
 
 def _pallas_inv_cholesky_impl(A: jax.Array, jitter: float = 0.0) -> jax.Array:
