@@ -156,6 +156,25 @@ def spd_factor(A: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
     return cholesky_factor(A, jitter=jitter)
 
 
+def spd_factor_diag(A: jnp.ndarray, w: jnp.ndarray,
+                    jitter: float = 0.0) -> jnp.ndarray:
+    """Factor (A + diag(w)) for `spd_apply`. On the Pallas path the diagonal
+    is added in-kernel, keeping a loop-invariant A out of the per-iteration
+    HBM traffic (the IPM's Newton matrix); elsewhere this is just
+    spd_factor(A + diag(w))."""
+    if _use_pallas_factor(A):
+        from .pallas_chol import pallas_inv_cholesky_diag
+
+        n = A.shape[-1]
+        lead = A.shape[:-2]
+        Minv = pallas_inv_cholesky_diag(
+            A.reshape((-1, n, n)), w.reshape((-1, n)), jitter=jitter)
+        return Minv.reshape(lead + (n, n))
+    n = A.shape[-1]
+    K = A + w[..., :, None] * jnp.eye(n, dtype=A.dtype)
+    return spd_factor(K, jitter=jitter)
+
+
 def spd_apply(F: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b given F = spd_factor(A)."""
     n = F.shape[-1]

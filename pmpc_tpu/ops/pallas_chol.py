@@ -133,6 +133,31 @@ def _blocked_substitution(n: int, M_ref, L_ref):
             M_ref[i, ccap:, :] = jnp.zeros((n - ccap, TB), L.dtype)
 
 
+def _chol_inv_kernel_small_diag(n: int, jitter: float, A_ref, w_ref, M_ref, L):
+    # `_chol_inv_kernel_small` with the barrier diagonal added IN-KERNEL:
+    # the IPM's Newton matrix is K = Hff + diag(w) where Hff is LOOP-
+    # INVARIANT and only w changes per iteration — taking them separately
+    # lets XLA hoist Hff's pad/relayout out of the IPM while-loop and
+    # removes the per-iteration (B, n, n) K materialization in HBM.
+    M_ref[...] = A_ref[...]
+    for j in range(n):
+        M_ref[j, j, :] = M_ref[j, j, :] + (w_ref[j, :] + jitter)
+    _blocked_factor(n, M_ref, L)
+    _blocked_substitution(n, M_ref, L)
+
+
+def _chol_inv_kernel_big_diag(n: int, jitter: float, A_ref, w_ref, M_ref, sem):
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        A_ref.at[:, :, pl.ds(i * TB, TB)], M_ref, sem)
+    cp.start()
+    cp.wait()
+    for j in range(n):
+        M_ref[j, j, :] = M_ref[j, j, :] + (w_ref[j, :] + jitter)
+    _blocked_factor(n, M_ref, None)
+    _blocked_substitution(n, M_ref, None)
+
+
 def _chol_inv_kernel_small(n: int, jitter: float, A_ref, M_ref, L):
     # The OUTPUT block doubles as the factorization workspace: the downdate
     # loops consume the copied A, then the forward substitution overwrites
@@ -224,6 +249,75 @@ def _pallas_inv_cholesky_impl(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     return jnp.moveaxis(Mt[:n, :n, :B], -1, 0)
 
 
+def _pallas_inv_cholesky_diag_impl(A: jax.Array, w: jax.Array,
+                                   jitter: float = 0.0) -> jax.Array:
+    """inv_cholesky(A + diag(w)) with the diagonal added in-kernel. A (B,n,n)
+    is typically loop-invariant (the condensed Hessian) while w (B,n) changes
+    per IPM iteration: splitting them makes A's pad/relayout loop-invariant
+    (hoisted by XLA) and skips materializing K in HBM every iteration."""
+    B, n, _ = A.shape
+    nb = -(-B // TB)
+    Bp = nb * TB
+    wt = jnp.moveaxis(w, 0, -1)  # (n, B)
+    if Bp != B:
+        wt = jnp.pad(wt, ((0, 0), (0, Bp - B)))
+
+    if _fits_small(n):
+        At = jnp.moveaxis(A, 0, -1)  # (n, n, B)
+        if Bp != B:
+            At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
+            eye = jnp.eye(n, dtype=A.dtype)[:, :, None]
+            padmask = (jnp.arange(Bp) >= B)[None, None, :]
+            At = jnp.where(padmask, eye, At)
+        kernel = partial(_chol_inv_kernel_small_diag, n, jitter)
+        Mt = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((n, TB), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((n, n, TB), lambda i: (0, 0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, n, Bp), A.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((n, n, TB), A.dtype),
+            ],
+            interpret=INTERPRET,
+        )(At, wt)
+        return jnp.moveaxis(Mt[:, :, :B], -1, 0)
+
+    np_ = -(-n // 8) * 8
+    At = jnp.moveaxis(A, 0, -1)  # (n, n, B)
+    if Bp != B or np_ != n:
+        At = jnp.pad(At, ((0, np_ - n), (0, np_ - n), (0, Bp - B)))
+        wt = jnp.pad(wt, ((0, np_ - n), (0, 0)))
+        if np_ != n:
+            idx = jnp.arange(n, np_)
+            At = At.at[idx, idx, :].set(1.0)
+        if Bp != B:
+            eye = jnp.eye(np_, dtype=A.dtype)[:, :, None]
+            padmask = (jnp.arange(Bp) >= B)[None, None, :]
+            At = jnp.where(padmask, eye, At)
+
+    kernel = partial(_chol_inv_kernel_big_diag, np_, jitter)
+    Mt = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec((np_, TB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((np_, np_, TB), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, np_, Bp), A.dtype),
+        scratch_shapes=[
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=INTERPRET,
+    )(At, wt)
+    return jnp.moveaxis(Mt[:n, :n, :B], -1, 0)
+
+
 def _make_batched_factor(jitter: float):
     """custom_vmap wrapper: an outer jax.vmap folds its axis into the
     kernel's batch axis instead of batching the pallas_call itself — the
@@ -247,6 +341,29 @@ def _make_batched_factor(jitter: float):
     return fac
 
 
+def _make_batched_factor_diag(jitter: float):
+    """custom_vmap wrapper for the diag-add variant: outer vmap axes fold
+    into the kernel batch (see `_make_batched_factor`)."""
+
+    @jax.custom_batching.custom_vmap
+    def fac(A, w):
+        return _pallas_inv_cholesky_diag_impl(A, w, jitter=jitter)
+
+    @fac.def_vmap
+    def _fac_vmap(axis_size, in_batched, A, w):  # noqa: ANN001
+        a_b, w_b = in_batched
+        if not a_b:
+            A = jnp.broadcast_to(A[None], (axis_size,) + A.shape)
+        if not w_b:
+            w = jnp.broadcast_to(w[None], (axis_size,) + w.shape)
+        lead = A.shape[:2]
+        out = fac(A.reshape((lead[0] * lead[1],) + A.shape[2:]),
+                  w.reshape((lead[0] * lead[1],) + w.shape[2:]))
+        return out.reshape(lead + out.shape[1:]), True
+
+    return fac
+
+
 _FACTOR_CACHE: dict = {}
 
 
@@ -263,3 +380,20 @@ def pallas_inv_cholesky(A: jax.Array, jitter: float = 0.0) -> jax.Array:
     if fac is None:
         fac = _FACTOR_CACHE.setdefault(key, _make_batched_factor(key))
     return fac(A)
+
+
+_FACTOR_DIAG_CACHE: dict = {}
+
+
+def pallas_inv_cholesky_diag(A: jax.Array, w: jax.Array,
+                             jitter: float = 0.0) -> jax.Array:
+    """Minv = L^{-1} for (A + diag(w)), A (B, n, n) SPD f32, w (B, n).
+
+    The diagonal is added in-kernel so a loop-invariant A (the IPM's
+    condensed Hessian block) is padded/relayouted ONCE outside the solver
+    loop and the per-iteration Newton matrix never materializes in HBM."""
+    key = float(jitter)
+    fac = _FACTOR_DIAG_CACHE.get(key)
+    if fac is None:
+        fac = _FACTOR_DIAG_CACHE.setdefault(key, _make_batched_factor_diag(key))
+    return fac(A, w)

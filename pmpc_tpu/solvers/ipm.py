@@ -44,6 +44,7 @@ from .reduced import (
     _block_diag,
     arrow_apply,
     arrow_factor,
+    arrow_factor_diag,
     assemble_condensed,
     recover_XU,
 )
@@ -341,13 +342,22 @@ def ipm_core(
         w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
         w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
 
-        Kcc, Kcf, Kff = box_weighted_K(
-            cqp,
-            w[:nc] + w[o_chi:o_flo],
-            (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nf),
-            ((w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX) if has_x else None),
-            Ftc, Ftf, has_u=has_u, has_x=has_x,
-        )
+        wc_d = w[:nc] + w[o_chi:o_flo]
+        wf_d = (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nf)
+        if has_u and not has_x and not has_soc:
+            # box-only fast path: K = H + diag(w) — the diagonal is folded
+            # into the factor kernel (`arrow_factor_diag`), so the loop-
+            # invariant H blocks are padded/relayouted ONCE outside the
+            # while-loop and the Newton matrix never materializes in HBM
+            F = arrow_factor_diag(cqp.Hcc, cqp.Hcf, cqp.Hff, wc_d, wf_d,
+                                  jitter=kappa)
+            Kcc = Kcf = Kff = None
+        else:
+            Kcc, Kcf, Kff = box_weighted_K(
+                cqp, wc_d, wf_d,
+                ((w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX) if has_x else None),
+                Ftc, Ftf, has_u=has_u, has_x=has_x,
+            )
         if has_soc:
             # NT scalings per cone; r_pq = s - (h - Gz)
             r_pq = (sq - cone_vals(uc, uf)) * rmaskf[:, None]
@@ -373,7 +383,8 @@ def ipm_core(
                 Kcc = Kcc + boost * jnp.eye(nc, dtype=dtype)
             if nf:
                 Kff = Kff + boost * jnp.eye(nf, dtype=dtype)
-        F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
+        if Kcc is not None:
+            F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
 
         def solve_K(bc_, bf_):
             """Arrow solve; with cones, one round of iterative refinement —

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..dynamics import condense
-from ..ops.linalg import spd_apply, spd_factor
+from ..ops.linalg import spd_apply, spd_factor, spd_factor_diag
 from ..utils import with_matmul_precision
 
 
@@ -260,6 +260,25 @@ def arrow_factor(Hcc, Hcf, Hff, jitter: float = 0.0) -> ArrowFactors:
         return ArrowFactors(Lff, jnp.zeros_like(jnp.swapaxes(Hcf, -1, -2)), Hcc, Hcf)
     W = spd_apply(Lff, jnp.swapaxes(Hcf, -1, -2))  # (M, nf, nc)
     S = Hcc - jnp.einsum("mij,mjk->ik", Hcf, W)
+    LS = spd_factor(S, jitter=jitter)
+    return ArrowFactors(Lff, W, LS, Hcf)
+
+
+def arrow_factor_diag(Hcc, Hcf, Hff, wc, wf, jitter: float = 0.0) -> ArrowFactors:
+    """`arrow_factor` of the box-IPM Newton system K = H + diag([wc; wf]):
+    the barrier weights only touch the block diagonals (Kcf = Hcf), so the
+    loop-invariant H blocks are passed through to a diag-adding factor
+    (`spd_factor_diag`) and never re-materialize per iteration."""
+    nc, nf = Hcc.shape[-1], Hff.shape[-1]
+    Kcc = Hcc + jnp.diag(wc) if nc > 0 else Hcc
+    if nf == 0:
+        LS = spd_factor(Kcc, jitter=jitter) if nc > 0 else Kcc
+        return ArrowFactors(Hff, jnp.zeros_like(Hcf), LS, Hcf)
+    Lff = spd_factor_diag(Hff, wf, jitter=jitter)  # (M, nf, nf)
+    if nc == 0:
+        return ArrowFactors(Lff, jnp.zeros_like(jnp.swapaxes(Hcf, -1, -2)), Hcc, Hcf)
+    W = spd_apply(Lff, jnp.swapaxes(Hcf, -1, -2))  # (M, nf, nc)
+    S = Kcc - jnp.einsum("mij,mjk->ik", Hcf, W)
     LS = spd_factor(S, jitter=jitter)
     return ArrowFactors(Lff, W, LS, Hcf)
 

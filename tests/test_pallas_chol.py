@@ -20,6 +20,7 @@ def _interpret(monkeypatch):
     # the custom_vmap wrappers close over the interpret flag at trace time;
     # drop any cached instances built with the real-TPU setting
     monkeypatch.setattr(pallas_chol, "_FACTOR_CACHE", {})
+    monkeypatch.setattr(pallas_chol, "_FACTOR_DIAG_CACHE", {})
     yield
     jax.clear_caches()  # cached executables traced with INTERPRET=True
 
@@ -108,3 +109,44 @@ def test_batch_padding_to_tile():
     ref = _ref_inv_chol(A)
     assert M.shape == (5, 9, 9)
     assert np.max(np.abs(M - ref)) < 5e-5
+
+
+def test_diag_variant_small_matches_numpy():
+    rng = np.random.default_rng(7)
+    A = _spd(rng, 3, 12)
+    w = rng.uniform(0.1, 2.0, size=(3, 12)).astype(np.float32)
+    assert pallas_chol._fits_small(12)
+    M = np.asarray(pallas_chol.pallas_inv_cholesky_diag(
+        jnp.asarray(A), jnp.asarray(w)))
+    ref = _ref_inv_chol(A + np.stack([np.diag(wi) for wi in w]))
+    assert np.max(np.abs(M - ref)) < 5e-5
+
+
+def test_diag_variant_big_matches_numpy(monkeypatch):
+    monkeypatch.setattr(pallas_chol, "_fits_small", lambda n: False)
+    monkeypatch.setattr(pallas_chol, "_FACTOR_DIAG_CACHE", {})
+    rng = np.random.default_rng(8)
+    A = _spd(rng, 3, 12)  # n=12: covers the identity-padded rows + w zero-pad
+    w = rng.uniform(0.1, 2.0, size=(3, 12)).astype(np.float32)
+    M = np.asarray(pallas_chol.pallas_inv_cholesky_diag(
+        jnp.asarray(A), jnp.asarray(w), jitter=0.25))
+    ref = _ref_inv_chol(A + np.stack([np.diag(wi + 0.25) for wi in w]))
+    assert np.max(np.abs(M - ref)) < 5e-5
+
+
+def test_diag_variant_custom_vmap():
+    """vmap folding with BOTH operands batched, and an unbatched A
+    broadcast against a batched w (the IPM shape: invariant H, varying w)."""
+    rng = np.random.default_rng(9)
+    A = _spd(rng, 6, 10).reshape(2, 3, 10, 10)
+    w = rng.uniform(0.1, 2.0, size=(2, 3, 10)).astype(np.float32)
+    Aj, wj = jnp.asarray(A), jnp.asarray(w)
+    out = np.asarray(jax.vmap(pallas_chol.pallas_inv_cholesky_diag)(Aj, wj))
+    for i in range(2):
+        ref = np.asarray(pallas_chol.pallas_inv_cholesky_diag(Aj[i], wj[i]))
+        assert np.max(np.abs(out[i] - ref)) < 1e-6
+    out2 = np.asarray(jax.vmap(
+        lambda wv: pallas_chol.pallas_inv_cholesky_diag(Aj[0], wv))(wj))
+    ref2 = _ref_inv_chol(
+        A[0][None] + np.stack([[np.diag(wi) for wi in wrow] for wrow in w]))
+    assert np.max(np.abs(out2 - ref2)) < 5e-5
