@@ -1,10 +1,18 @@
-"""Headline benchmark: consensus MPC solves/s on the available chip.
+"""Headline benchmark: CONVERGED consensus MPC solves/s on the available chip.
 
 Config (BASELINE.json): N=30 horizon, M=32 particles, xdim=4, udim=2, box
-control constraints, Nc=5 consensus horizon, 8 SCP iterations per solve, f32.
-A batch of B scenarios is solved in one fused vmapped program; throughput =
-solved problems per second (each problem = full SCP solve of an M=32-particle
-consensus program).
+control constraints, Nc=5 consensus horizon, f32. A batch of B scenarios is
+solved in one fused vmapped program.
+
+Headline metric (round 4): a "solve" counts ONLY when the SCP residual
+reaches <= 1e-3 (the f32 accuracy envelope measured in
+benchmarks/accuracy_envelope*; the reference defines a solve by
+``max_res < res_tol``, scp_mpc.py:424, not by an iteration budget).  The
+solver runs with device-loop Anderson acceleration and an early-exit
+while_loop capped at ``max_it`` — an adaptive budget, not a fixed pass
+count.  ``converged_frac`` and the exit-residual stats are reported next to
+the rate; the round-3 fixed-8-iteration pass rate is dual-reported as
+``legacy_8it_passes_per_s`` for cross-round continuity.
 
 Baseline: the north-star target is >=1000 solves/s on a v5e-8 (8 chips) ==
 125 solves/s/chip; ``vs_baseline`` is measured-chip-throughput / 125.
@@ -18,48 +26,71 @@ import time
 
 import numpy as np
 
+RES_TOL = 1e-3  # the accuracy envelope a counted solve must reach
+MAX_IT = 25     # early-exit cap (AA converges the flagship in ~15)
 
-def main():
+
+def _stack_varied(data, B):
+    """Broadcast one flagship instance to a B-batch with varied x0."""
     import jax
     import jax.numpy as jnp
 
-    import pmpc_tpu  # noqa: F401  (enables the persistent compile cache)
-    from pmpc_tpu.jax_scp import build_scp_solver
-    from __graft_entry__ import _flagship
-
-    B = int(os.environ.get("PMPC_BENCH_B", "64"))  # measured sweet spot after the
-    # batch-folded Pallas factor (64->548, 128->535, 256->506, 512->478 solves/s/chip)
-    reps = int(os.environ.get("PMPC_BENCH_REPS", "5"))
-
-    solver, data = _flagship()
-    batched = jax.jit(jax.vmap(solver))
     stack = jax.tree.map(lambda x: jnp.broadcast_to(x[None], (B,) + x.shape), data)
-    # vary x0 across the batch so nothing folds away
     rng = np.random.default_rng(1)
     x0 = np.asarray(stack.x0) + 0.05 * rng.normal(size=stack.x0.shape).astype(
         np.asarray(stack.x0).dtype
     )
-    stack = stack._replace(x0=jnp.asarray(x0))
+    return stack._replace(x0=jnp.asarray(x0))
 
-    # warmup / compile; a host read (not block_until_ready, which returns
-    # early through the axon remote-device tunnel) is the fence
+
+def _timed(batched, stack, reps):
+    """Warm up, then time reps executions; fence with a host read (a plain
+    block_until_ready returns early through the axon remote-device tunnel)."""
     X, U, info = batched(stack)
     _ = float(U.sum())
-
     t0 = time.perf_counter()
     for _ in range(reps):
         X, U, info = batched(stack)
     _ = float(U.sum())
-    dt = time.perf_counter() - t0
+    return time.perf_counter() - t0, info
 
-    solves_per_s = B * reps / dt
-    n_dev = len(jax.devices())
-    per_chip = solves_per_s / max(n_dev, 1)
+
+def main():
+    import jax
+
+    import pmpc_tpu  # noqa: F401  (enables the persistent compile cache)
+    from __graft_entry__ import _flagship
+
+    B = int(os.environ.get("PMPC_BENCH_B", "64"))
+    reps = int(os.environ.get("PMPC_BENCH_REPS", "5"))
+    n_dev = max(len(jax.devices()), 1)
+
+    # --- headline: adaptive-budget converged solves ---
+    solver, data = _flagship(max_it=MAX_IT, res_tol=RES_TOL, accel="AA")
+    batched = jax.jit(jax.vmap(solver))
+    stack = _stack_varied(data, B)
+    dt, info = _timed(batched, stack, reps)
+    resid = np.asarray(info["resid"], np.float64)
+    conv = np.asarray(info["converged"])
+    frac = float(conv.mean())
+    converged_per_s = conv.sum() * reps / dt
+    per_chip = converged_per_s / n_dev
+
+    # --- legacy continuity metric: fixed 8-iteration passes (round <=3) ---
+    solver8, data8 = _flagship(max_it=8)
+    dt8, _ = _timed(jax.jit(jax.vmap(solver8)), _stack_varied(data8, B), reps)
+    legacy = B * reps / dt8 / n_dev
+
     print(json.dumps({
-        "metric": "consensus_mpc_solves_per_s_per_chip_N30_M32",
+        "metric": "converged_consensus_mpc_solves_per_s_per_chip_N30_M32",
         "value": round(per_chip, 2),
-        "unit": "solves/s/chip",
+        "unit": "solves/s/chip (resid<=1e-3)",
         "vs_baseline": round(per_chip / 125.0, 4),
+        "converged_frac": round(frac, 4),
+        "resid_median": float(np.median(resid)),
+        "resid_max": float(resid.max()),
+        "iters_median": float(np.median(np.asarray(info["iters"]))),
+        "legacy_8it_passes_per_s": round(legacy, 2),
     }))
 
 

@@ -117,6 +117,10 @@ def build_scp_solver(
     method: str = "condensed",
     has_slew: bool = False,
     return_state: bool = False,
+    accel: str = "",
+    accel_window: int = 5,
+    accel_it0: int = 2,
+    accel_wmax: float = 50.0,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -130,6 +134,20 @@ def build_scp_solver(
             when both are False.
         lin_cost_fn: optional JAX fn (X_prev, U_prev, data) -> (cx, cu) for
             nonconvex cost linearization (parity with ``scp_mpc.py:171-185``).
+        accel: "" (plain fixed-point iteration) or "AA" — Anderson
+            acceleration of the SCP fixed point INSIDE the device loop: the
+            next linearization point is the affine combination of the last
+            ``accel_window`` subproblem solutions whose weights solve the
+            Tikhonov-regularized residual least squares (Type-II AA, the
+            device twin of the host loop's ``filter_method="AA"``,
+            role parity with ``pmpc/scp_mpc.py:37-62``). The RETURNED
+            solution is always the last accepted raw subproblem solution
+            (bound-feasible); acceleration only steers the linearization
+            point, so the converged fixed point is unchanged.
+        accel_it0: first iteration index at which acceleration engages.
+        accel_wmax: safeguard — fall back to the plain iterate whenever the
+            combination's total weight mass exceeds this (an exploding
+            extrapolation signals a locally nonlinear map).
 
     Returns:
         solver(data: SCPData) -> (X (M,N+1,xdim), U (M,N,udim), info dict)
@@ -157,8 +175,30 @@ def build_scp_solver(
 
         return jax.vmap(one)(X_, U_prev, data.params)
 
+    if accel not in ("", "AA"):
+        raise ValueError(f"unknown accel {accel!r} (use '' or 'AA')")
+    AW = int(accel_window)
+    n_flat = M * N * (xdim + udim)
+
+    def _aa_combine(histF, histZ, nh, Fk, Zk):
+        """Type-II Anderson weights over the valid window (masked fixed-size
+        buffers; the (AW-1)^2 normal system is tiny). Returns the combined
+        flat iterate and its total weight mass."""
+        dt = Fk.dtype
+        valid = (jnp.arange(AW - 1) >= (AW - nh)).astype(dt)  # older slots
+        D = (histF[:-1] - Fk[None, :]) * valid[:, None]  # (AW-1, n_flat)
+        G = D @ D.T
+        rhs = -(D @ Fk)
+        eps = jnp.asarray(1e-6, dt) * (jnp.trace(G) / (AW - 1) + 1e-30)
+        theta = jnp.linalg.solve(G + eps * jnp.eye(AW - 1, dtype=dt), rhs)
+        theta = theta * valid
+        w_last = 1.0 - jnp.sum(theta)
+        Z_acc = theta @ histZ[:-1] + w_last * Zk
+        wmass = jnp.sum(jnp.abs(theta)) + jnp.abs(w_last)
+        return Z_acc, wmass
+
     def iteration(data: SCPData, carry, _):
-        X_prev, U_prev, it, done, resid, resid_m, warm = carry
+        X_prev, U_prev, it, done, resid, resid_m, warm, acc = carry
         f, fx, fu = linearize_particles(data, X_prev, U_prev)
 
         X_ref, U_ref = data.X_ref, data.U_ref
@@ -311,8 +351,28 @@ def build_scp_solver(
         now_done = (new_resid < res_tol) & ~bad
 
         freeze = done | bad
-        X_out = jnp.where(freeze, X_prev, X)
-        U_out = jnp.where(freeze, U_prev, U)
+        X_lin, U_lin = X, U
+        acc_out = acc
+        if accel:
+            histF, histZ, nh, X_sol, U_sol = acc
+            Fk = jnp.concatenate([dX.reshape(-1), dU.reshape(-1)])
+            Zk = jnp.concatenate([X.reshape(-1), U.reshape(-1)])
+            histF_n = jnp.roll(histF, -1, axis=0).at[-1].set(Fk)
+            histZ_n = jnp.roll(histZ, -1, axis=0).at[-1].set(Zk)
+            nh_n = jnp.minimum(nh + 1, AW)
+            Z_acc, wmass = _aa_combine(histF_n, histZ_n, nh_n, Fk, Zk)
+            use = ((it + 1 >= accel_it0) & (nh_n >= 2)
+                   & (wmass < accel_wmax) & jnp.isfinite(wmass)
+                   & ~now_done)
+            Z_lin = jnp.where(use, Z_acc, Zk)
+            nx = M * N * xdim
+            X_lin = Z_lin[:nx].reshape(M, N, xdim)
+            U_lin = Z_lin[nx:].reshape(M, N, udim)
+            sel_a = lambda a_, b_: jnp.where(freeze, b_, a_)
+            acc_out = (sel_a(histF_n, histF), sel_a(histZ_n, histZ),
+                       sel_a(nh_n, nh), sel_a(X, X_sol), sel_a(U, U_sol))
+        X_out = jnp.where(freeze, X_prev, X_lin)
+        U_out = jnp.where(freeze, U_prev, U_lin)
         resid_out = jnp.where(freeze, resid, new_resid)
         resid_m_out = jnp.where(freeze, resid_m, resid_m_new)
         it_out = it + jnp.where(done, 0, 1).astype(jnp.int32)
@@ -327,7 +387,7 @@ def build_scp_solver(
                 ys["ipm_converged"] = stats["converged"]
                 ys["accepted"] = ~freeze
         return (X_out, U_out, it_out, done | now_done, resid_out, resid_m_out,
-                warm_out), ys
+                warm_out, acc_out), ys
 
     @with_matmul_precision("high")
     def solver(data: SCPData, state=None):
@@ -368,15 +428,19 @@ def build_scp_solver(
                     warm0 = warm0 + (e0, e0)
         else:
             warm0 = None
+        acc0 = None
+        if accel:
+            acc0 = (jnp.zeros((AW, n_flat), dt), jnp.zeros((AW, n_flat), dt),
+                    jnp.asarray(0, jnp.int32), data.X_prev, data.U_prev)
         carry0 = (
             data.X_prev, data.U_prev,
             jnp.asarray(0, jnp.int32), jnp.asarray(False),
             jnp.asarray(jnp.inf, dt),
             jnp.full((M,), jnp.inf, dt),
-            warm0,
+            warm0, acc0,
         )
         if collect_stats:
-            (X, U, it, done, resid, resid_m, warm_fin), ys = lax.scan(
+            (X, U, it, done, resid, resid_m, warm_fin, acc_fin), ys = lax.scan(
                 partial(iteration, data), carry0, None, length=max_it
             )
         else:
@@ -387,9 +451,16 @@ def build_scp_solver(
             def wcond(carry):
                 return (~carry[3]) & (carry[2] < max_it)
 
-            (X, U, it, done, resid, resid_m, warm_fin) = lax.while_loop(
-                wcond, lambda c: iteration(data, c, None)[0], carry0)
+            (X, U, it, done, resid, resid_m, warm_fin, acc_fin) = \
+                lax.while_loop(
+                    wcond, lambda c: iteration(data, c, None)[0], carry0)
             ys = None
+        if accel:
+            # return the last accepted RAW subproblem solution: it satisfies
+            # the subproblem's constraints to IPM tolerance, while the AA
+            # combination in X/U (the linearization carry) may extrapolate
+            # slightly outside the feasible box
+            X, U = acc_fin[3], acc_fin[4]
         X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
         info = dict(iters=it, resid=resid, converged=resid < res_tol,
                     resid_particle=resid_m)

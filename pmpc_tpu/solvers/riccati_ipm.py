@@ -12,6 +12,16 @@ machinery), never building ``Ft``:
   with ``diag(w_j)`` added to the free stages' ``Rt_j`` and ``diag(w_c)``
   added to the consensus Schur complement at the root — the Riccati
   factorization absorbs them at no extra cost,
+- STATE-box barrier weights are diagonal in state space, so they land on the
+  per-stage ``Qt_j`` the same way (``Qt_j + diag(wx_j)``) — the recursion
+  propagates them through the dynamics chain, which is exactly the
+  ``G' diag(w) G`` term of the condensed formulation without ever forming
+  the condensed sensitivity; the state rows' primal values/directions come
+  from the forward rollouts the sweeps already do, and their adjoint
+  (gradient) contributions ride the same ``jax.grad``-of-rollout used for
+  the objective. This is the O(N) route to the reference's state-box rows
+  (``PMPC.jl/src/lqp_utils.jl:306-393``), which its sparse CPU solvers
+  carry at any N,
 - gradients are computed by rollout + adjoint (``jax.grad`` of the stage
   objective), which is the FACTORED form: no condensation-squared
   conditioning loss in f32,

@@ -124,6 +124,49 @@ def test_has_u_bounds_false_ignores_finite_bound_arrays():
     assert np.asarray(X)[:, 1:].max() <= 1.0 + 1e-4
 
 
+def test_accel_aa_same_fixed_point_fewer_iterations():
+    """Device-loop Anderson acceleration (accel="AA"): reaches the SAME SCP
+    fixed point as the plain iteration (the returned iterate is always a raw
+    subproblem solution, so bound feasibility is preserved), in fewer
+    iterations on this fixture (device twin of the host loop's
+    filter_method="AA", role of pmpc/scp_mpc.py:37-62)."""
+    M, N, xdim, udim, Nc = 4, 15, 4, 2, 3
+    rng = np.random.default_rng(7)
+    x0 = np.ones((M, xdim)) + 0.1 * rng.normal(size=(M, xdim))
+    data = make_scp_data(
+        x0, np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        reg_x=1.0, reg_u=0.1,
+        u_l=-0.8 * np.ones((M, N, udim)), u_u=0.8 * np.ones((M, N, udim)),
+        dtype=jnp.float64)
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=Nc, max_it=60,
+              res_tol=1e-6, has_u_bounds=True, ipm_iters=30, ipm_tol_exp=-9)
+    plain = build_scp_solver(unicycle_step, **kw)
+    accel = build_scp_solver(unicycle_step, accel="AA", **kw)
+    Xp, Up, ip = plain(data)
+    Xa, Ua, ia = accel(data)
+    assert bool(ip["converged"]) and bool(ia["converged"])
+    np.testing.assert_allclose(np.asarray(Ua), np.asarray(Up), atol=2e-5)
+    # bound feasibility of the returned (raw, not extrapolated) solution
+    assert np.asarray(Ua).max() <= 0.8 + 1e-7
+    assert np.asarray(Ua).min() >= -0.8 - 1e-7
+    assert int(ia["iters"]) < int(ip["iters"]), (
+        f"AA {int(ia['iters'])} vs plain {int(ip['iters'])}")
+
+
+def test_accel_aa_scan_path_matches_while_path():
+    """collect_stats=True (scan) and False (while_loop) agree under AA."""
+    M, N, xdim, udim = 2, 10, 4, 2
+    data = _dubins_data(M, N, bounds=True)
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=2, max_it=20,
+              res_tol=1e-8, has_u_bounds=True, accel="AA")
+    s_scan = build_scp_solver(unicycle_step, collect_stats=True, **kw)
+    s_while = build_scp_solver(unicycle_step, collect_stats=False, **kw)
+    X1, U1, i1 = s_scan(data)
+    X2, U2, i2 = s_while(data)
+    np.testing.assert_allclose(np.asarray(U1), np.asarray(U2), atol=1e-6)
+
+
 def test_return_state_warm_starts_across_calls():
     """Receding-horizon contract: build_scp_solver(return_state=True) returns
     the final IPM primal/dual/slack point and accepts it on the next call —
