@@ -27,7 +27,12 @@ import time
 import numpy as np
 
 RES_TOL = 1e-3  # the accuracy envelope a counted solve must reach
-MAX_IT = 25     # early-exit cap (AA converges the flagship in ~15)
+MAX_IT = 25     # early-exit cap (AA converges the flagship in ~16)
+# full headline build config; tests/test_accuracy.py pins its quality.
+# ipm_iters=8: measured sweet spot (benchmarks/tune_headline_out2.txt —
+# 8 inner iterations with cross-SCP warm starts beat 15 at 297 vs 204
+# solves/s with identical converged_frac=1.0)
+HEADLINE_KW = dict(max_it=MAX_IT, res_tol=RES_TOL, accel="AA", ipm_iters=8)
 
 
 def _stack_varied(data, B):
@@ -66,7 +71,7 @@ def main():
     n_dev = max(len(jax.devices()), 1)
 
     # --- headline: adaptive-budget converged solves ---
-    solver, data = _flagship(max_it=MAX_IT, res_tol=RES_TOL, accel="AA")
+    solver, data = _flagship(**HEADLINE_KW)
     batched = jax.jit(jax.vmap(solver))
     stack = _stack_varied(data, B)
     dt, info = _timed(batched, stack, reps)

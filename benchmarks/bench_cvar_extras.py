@@ -130,8 +130,37 @@ def main():
                     solves_per_s=round(len(probs) / dt, 2),
                     ms_per_batch=round(1e3 * dt, 1), converged=n_ok), out
 
+    # serial baseline on the IDENTICAL M=4 problem (apples-to-apples for the
+    # batched ratio — the M=16 serial configs above carry ~4x more work)
+    p0 = mk(0, k=2)
+    Xs, Us, ds = pmpc_tpu.solve(
+        f_fx_fu, p0["Q"], p0["R"], p0["x0"], max_it=6, res_tol=1e-7,
+        verbose=False, solver_settings=p0["solver_settings"])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        Xs, Us, ds = pmpc_tpu.solve(
+            f_fx_fu, p0["Q"], p0["R"], p0["x0"], max_it=6, res_tol=1e-7,
+            verbose=False, solver_settings=p0["solver_settings"])
+    dt = (time.perf_counter() - t0) / 3
+    print(json.dumps(dict(
+        config=f"serial_cvar_k2_M{Mb}", solves_per_s=round(1.0 / dt, 2),
+        ms_per_solve=round(1e3 * dt, 1),
+        resid=float(ds["hist"][-1]["resid"]))), flush=True)
+
     line, out = run_batch(
         f"batched_cvar_k2_B{B}_M{Mb}", [mk(i, k=2) for i in range(B)])
+    line["resid_median"] = float(np.median(
+        [r[2]["resid"] for r in out if r[2] is not None]))
+    print(json.dumps(line), flush=True)
+
+    # CONVERGING batched CVaR: k = M-1 keeps the k-worst set stable (only
+    # the single best particle is excluded) and a reachable res_tol lets the
+    # convergence contract latch under load, not only in unit tests
+    probs_c = [dict(mk(i, k=Mb - 1), max_it=15, res_tol=1e-4)
+               for i in range(B)]
+    line, out = run_batch(f"batched_cvar_k{Mb-1}_B{B}_M{Mb}_tol1e-4", probs_c)
+    line["resid_median"] = float(np.median(
+        [r[2]["resid"] for r in out if r[2] is not None]))
     print(json.dumps(line), flush=True)
 
     nu_total = Nc * udim + Mb * (N - Nc) * udim

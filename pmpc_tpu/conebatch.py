@@ -94,8 +94,9 @@ def solve_problems_cone(
 
     Requirements (checked): homogeneous shapes/settings, the JAX dynamics
     protocol (``make_f_fx_fu_fn``), identical extras SIGNATURE (numeric
-    values may differ per problem), no exponential cones (no logbarrier
-    smoothing, no ``e`` rows — those need the barrier driver, solve serially).
+    values may differ per problem). Exponential-cone signatures (logbarrier
+    smoothing, ``e`` rows) batch through the vmapped central-path barrier
+    driver; symmetric signatures batch through the NT cone IPM.
     """
     import jax
     import jax.numpy as jnp
@@ -120,11 +121,9 @@ def solve_problems_cone(
     if smooth == "" and ss0.get("smooth_alpha") is not None \
             and np.isfinite(float(ss0["smooth_alpha"])):
         smooth = "logbarrier"
-    if smooth == "logbarrier":
-        raise ValueError(
-            "batched cone solves do not support logbarrier smoothing (it "
-            "generates exponential cones — squareplus batches; solve "
-            "logbarrier problems serially)")
+    # logbarrier smoothing generates exponential cones; those signatures
+    # vmap the device central-path barrier driver (expbarrier) instead of
+    # the NT cone IPM — see composed_solve_batch_device
     if ss0.get("weights") is not None:
         raise ValueError("batched cone solves do not support weights yet")
 
@@ -175,8 +174,6 @@ def solve_problems_cone(
         raise ValueError(
             "batched cone solves need the same extras signature (l, q, e, "
             "n_aux) for every problem; numeric values may differ")
-    if any(e for (_, _, e, _) in sig):
-        raise ValueError("batched cone solves do not support exp-cone extras")
     ecs_np = tuple(
         tuple(np.stack([arrays[b][i][j] for b in range(B)])
               for j in range(5))

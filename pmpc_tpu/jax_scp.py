@@ -158,12 +158,15 @@ def build_scp_solver(
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
     if method not in ("condensed", "riccati", "priccati"):
         raise ValueError(f"unknown method {method!r}")
-    if method in ("riccati", "priccati") and (has_x_bounds or has_u_soc):
+    if method in ("riccati", "priccati") and has_u_soc:
         raise NotImplementedError(
-            "method='riccati' serves the eq-only and u-box paths (O(N) "
-            "stage-structured IPM); state boxes and SOC cones need the "
-            "condensed IPM"
+            "method='riccati' serves the eq-only and box paths (O(N) "
+            "stage-structured IPM); SOC cones need the condensed IPM"
         )
+    if method == "priccati" and has_x_bounds:
+        raise NotImplementedError(
+            "method='priccati' does not support state boxes; use "
+            "method='riccati'")
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
         X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)
@@ -242,14 +245,22 @@ def build_scp_solver(
                     r = jnp.minimum(resid, 1e3)
                     tol_dyn = jnp.clip(1e-3 * r * r, 0.0,
                                        adaptive_cap).astype(dt)
+                xbox_kw = {}
+                if has_x_bounds:
+                    xbox_kw = dict(x_l=data.x_l, x_u=data.x_u)
+                u_l = data.u_l if has_u_bounds else \
+                    jnp.full_like(data.u_l, -jnp.inf)
+                u_u = data.u_u if has_u_bounds else \
+                    jnp.full_like(data.u_u, jnp.inf)
                 X, U, stats = riccati_ipm_solve_scp(
                     data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
                     X_ref, U_ref, data.reg_x, data.reg_u,
-                    data.u_l, data.u_u, Nc=Nc,
+                    u_l, u_u, Nc=Nc,
                     iters=ipm_iters,
                     tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
                     kappa=kappa if kappa is not None else dflt_kappa,
-                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau, **slew_kw)
+                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau, **slew_kw,
+                    **xbox_kw)
                 if warm_start:
                     warm_new = (stats["theta"], stats["uf"],
                                 stats["s"], stats["lam"])
@@ -409,10 +420,12 @@ def build_scp_solver(
                 uc_w = jnp.mean(data.U_prev.reshape(M, -1)[:, :nc], axis=0)
                 uf_w = data.U_prev.reshape(M, -1)[:, nc:]
                 if method in ("riccati", "priccati"):
-                    # stage-structured IPM layout: padded theta, no state rows
+                    # stage-structured IPM layout: padded theta; state rows
+                    # appended when state bounds are active
                     nct = max(nc, 1)
                     th_w = jnp.zeros((nct,), dt).at[:nc].set(uc_w)
-                    mtot = 2 * nct + 2 * M * nf
+                    mtot = 2 * nct + 2 * M * nf \
+                        + (2 * M * N * xdim if has_x_bounds else 0)
                     s_w = jnp.ones((mtot,), dt)
                     warm0 = (th_w, uf_w, s_w, s_w)
                 else:

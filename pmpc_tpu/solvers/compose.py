@@ -740,12 +740,25 @@ def composed_solve_batch_device(
                 smooth_method=smooth_method, smooth_alpha=smooth_alpha,
                 smooth_beta=smooth_beta, u_soc_r=bd.get("u_soc_r"),
                 H_extra=H_extra, q_extra=q_extra, cvar=cvar)
-        assert Ge.shape[0] == 0  # exp cones excluded from the batched path
         Gq, hq = pad_socs(soc_blocks, lay.nv, q.dtype)
+        nf = (N - Nc) * udim
+        if Ge.shape[0]:
+            # exponential cones (logbarrier smoothing / user e-rows): the
+            # NT IPM is symmetric-cone-only, so this signature vmaps the
+            # device central-path barrier driver instead (same driver the
+            # serial path uses). It has no warm-start contract — neutral
+            # placeholders keep the host's warm tree shape-stable.
+            from .expbarrier import exp_barrier_solve
+
+            v, stats = exp_barrier_solve(P, q, Gl, hl, Gq, hq, Ge, he,
+                                         tol_exp=tol_exp)
+            X, U = recover_XU(v[:lay.nz], Xmap, xoff, M, nc, nf, N, udim,
+                              xdim)
+            return X, U, v[lay.nz:], stats, (v, jnp.zeros_like(hl),
+                                             jnp.zeros_like(hq))
         prob = ConeLP(P=P, q=q, Gl=Gl, hl=hl, Gq=Gq, hq=hq)
         v, s, z, stats = cone_qp_solve(prob, iters=iters, tol_exp=tol_exp,
                                        kappa=kappa, tol_dynamic=td, warm=w)
-        nf = (N - Nc) * udim
         X, U = recover_XU(v[:lay.nz], Xmap, xoff, M, nc, nf, N, udim, xdim)
         return X, U, v[lay.nz:], stats, (v, z[0], z[1])
 

@@ -80,6 +80,36 @@ def _soc_W(s, z):
     return W, Winv, W2inv, lam
 
 
+def _soc_scaling(s, z):
+    """NT scaling of one padded SOC in VECTOR form: (lam, y, w, beta) with
+
+        W     = 2 y y' - beta J          (y = Jordan sqrt of the NT point w)
+        W^-1  = (2/beta^2) (Jy)(Jy)' - J/beta
+        W^-2  = (2/beta^4) (Jw)(Jw)' - J/beta^2
+        lam   = W z
+
+    i.e. every scaling is rank-1 + diagonal — O(p) storage/applies instead
+    of the O(p^2) matrices of `_soc_W`, and G'W^-2 G reduces to a rank-1
+    update of the CONSTANT J-gram G'JG (the per-iteration Newton assembly
+    stops scaling with p^2). Padding stays exactly neutral (padded coords of
+    y, w are 0)."""
+    p = s.shape[0]
+    Jdiag = jnp.concatenate([jnp.ones((1,), s.dtype),
+                             -jnp.ones((p - 1,), s.dtype)])
+    det_s = jnp.maximum(s[0] ** 2 - jnp.sum(s[1:] ** 2), 1e-30)
+    det_z = jnp.maximum(z[0] ** 2 - jnp.sum(z[1:] ** 2), 1e-30)
+    sbar = s / jnp.sqrt(det_s)
+    zbar = z / jnp.sqrt(det_z)
+    gamma = jnp.sqrt(jnp.maximum((1.0 + sbar @ zbar) / 2.0, 1e-12))
+    wbar = (sbar + Jdiag * zbar) / (2.0 * gamma)
+    beta = (det_s / det_z) ** 0.25
+    w = beta * wbar
+    y0 = jnp.sqrt(jnp.maximum((w[0] + beta) / 2.0, 1e-20))
+    y = jnp.concatenate([y0[None], w[1:] / (2.0 * y0)])
+    lam = 2.0 * y * (y @ z) - beta * (Jdiag * z)
+    return lam, y, w, beta
+
+
 def _soc_prod(u, v):
     """Jordan product for SOC: (u'v ; u0 v1 + v0 u1)."""
     first = jnp.sum(u * v, keepdims=True)
@@ -184,7 +214,7 @@ def cone_host_stats(stats, tol_eff):
     )
 
 
-@partial(jax.jit, static_argnames=("iters", "tol_exp", "kappa"))
+@partial(jax.jit, static_argnames=("iters", "tol_exp", "kappa", "debug_trace"))
 @with_matmul_precision("highest")
 def cone_qp_solve(
     prob: ConeLP,
@@ -193,8 +223,13 @@ def cone_qp_solve(
     kappa: float = 0.0,
     tol_dynamic=None,
     warm=None,
+    debug_trace: bool = False,
 ):
     """Solve the cone QP; returns (v, s, z, stats).
+
+    ``debug_trace=True`` swaps the early-exit while_loop for a fixed-length
+    scan and adds ``stats["trace"]`` with per-iteration (mu, a, a_aff,
+    sigma, rp, rd, bad) — the IPM's own profiler.
 
     ``tol_dynamic`` is an optional TRACED scalar: the effective tolerance is
     ``max(10^tol_exp, tol_dynamic)`` — inexact-Newton forcing without a
@@ -243,6 +278,18 @@ def cone_qp_solve(
     tau = jnp.asarray(0.99 if dtype == jnp.float64 else 0.95, dtype=dtype)
 
     e_soc = jnp.zeros((ncones, pmax), dtype).at[:, 0].set(1.0)
+    Jq = jnp.concatenate([jnp.ones((1,), dtype),
+                          -jnp.ones((pmax - 1,), dtype)])  # SOC J diagonal
+    Gq2d = prob.Gq.reshape(ncones * pmax, nv)
+    # wide cones (the CVaR epigraph class): G'W^-2 G = rank-1 - weighted
+    # J-gram, and the per-cone J-grams G_c'JG_c are CONSTANT — precompute
+    # them once and the per-iteration Newton assembly drops from
+    # O(c p nv^2 + c p^2 nv) to O(c nv^2 + c p nv). For narrow cones (p ~ 3)
+    # the (c, nv, nv) buffer costs more than it saves — keep the diagonal
+    # -scaled gram there.
+    use_jgram = pmax >= 32
+    if use_jgram:
+        Tq = jnp.einsum("cpv,cpw->cvw", prob.Gq * Jq[None, :, None], prob.Gq)
 
     def _shift_nonneg(u):
         a = -jnp.min(u) if u.size else jnp.asarray(-1.0, dtype)
@@ -255,17 +302,24 @@ def cone_qp_solve(
         return u.at[:, 0].add(shift)
 
     def init():
-        # cvxopt-style start: least-squares KKT point, slacks/duals shifted
-        # into the cone interiors (robust for LP-like objectives and large h)
+        # least-squares KKT primal; slacks shifted into the cone interiors;
+        # SOC duals started on the CENTRAL RAY (z = scale * e per cone,
+        # scale ~ the residual magnitude). The previous shifted-residual
+        # dual start hugs the cone boundary when the program mixes scales
+        # (CVaR epigraph rows carry O(10) cost constants): lambda collapses
+        # in some directions and every Mehrotra step gets blocked at
+        # alpha ~ 1e-2 for hundreds of iterations (measured 202 -> 21
+        # iterations on the k-worst program this was debugged on).
         GtG = prob.Gl.T @ prob.Gl + jnp.einsum("cpv,cpw->vw", prob.Gq, prob.Gq)
         Gth = prob.Gl.T @ prob.hl + jnp.einsum("cpv,cp->v", prob.Gq, prob.hq)
         v = spd_apply(spd_factor(prob.P + GtG, jitter=1e-8), -prob.q + Gth)
         res_l = prob.hl - prob.Gl @ v  # = s_hat
         res_q = prob.hq - jnp.einsum("cpv,v->cp", prob.Gq, v)
         sl = _shift_nonneg(res_l)
-        zl = _shift_nonneg(-res_l)
+        zl = jnp.maximum(-res_l, 1.0)
         sq = _shift_soc(res_q) if ncones else res_q
-        zq = _shift_soc(-res_q) if ncones else res_q
+        scale_q = jnp.maximum(jnp.linalg.norm(res_q, axis=-1), 1.0)  # (c,)
+        zq = e_soc * scale_q[:, None]
         return v, sl, zl, sq, zq
 
     def init_warm(w):
@@ -294,28 +348,49 @@ def cone_qp_solve(
         r_pl = prob.Gl @ v + sl - prob.hl
         r_pq = jnp.einsum("cpv,v->cp", prob.Gq, v) + sq - prob.hq
 
-        # scalings
+        # scalings (vector form: rank-1 + diagonal, see _soc_scaling)
         # capped ratios keep K finite/PD-ish in float32 near the boundary
         wl_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
         wl2 = jnp.minimum(zl / sl, wl_max)  # (ml,)
-        Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
+        lamq, Yq, Wvq, betaq = jax.vmap(_soc_scaling)(sq, zq)
         mu = (jnp.sum(sl * zl) + jnp.sum(sq * zq)) / nu
+        JYq = Jq * Yq   # (c, p)
+        JWq = Jq * Wvq
+        b2 = betaq * betaq
 
-        # G' W^-2 G as one (nv, c*p) @ (c*p, nv) gemm: the per-cone 3x3 scale
-        # is tiny, the big contraction should hit the matmul unit
-        WG = jnp.einsum("cpr,crw->cpw", Wq2inv, prob.Gq)
-        Gq2d = prob.Gq.reshape(ncones * pmax, nv)
-        K = prob.P + (prob.Gl.T * wl2) @ prob.Gl \
-            + Gq2d.T @ WG.reshape(ncones * pmax, nv)
+        def socW(x):
+            return 2.0 * Yq * jnp.sum(Yq * x, -1, keepdims=True) \
+                - betaq[:, None] * (Jq * x)
+
+        def socWinv(x):
+            return (2.0 / b2)[:, None] * JYq * jnp.sum(JYq * x, -1,
+                                                       keepdims=True) \
+                - (Jq * x) / betaq[:, None]
+
+        def socW2inv(x):
+            return (2.0 / (b2 * b2))[:, None] * JWq \
+                * jnp.sum(JWq * x, -1, keepdims=True) \
+                - (Jq * x) / b2[:, None]
+
+        # G'W^-2 G = (2/beta^4) (G'Jw)(G'Jw)' - (1/beta^2) G'JG per cone
+        Uq = jnp.einsum("cpv,cp->cv", prob.Gq, JWq)  # (c, nv)
+        K_soc = jnp.einsum("c,cv,cw->vw", 2.0 / (b2 * b2), Uq, Uq)
+        if use_jgram:
+            K_soc = K_soc - jnp.einsum("c,cvw->vw", 1.0 / b2, Tq)
+        else:
+            dJ = (Jq[None, :] / b2[:, None]).reshape(-1)  # (c*p,)
+            K_soc = K_soc - (Gq2d.T * dJ) @ Gq2d
+        K = prob.P + (prob.Gl.T * wl2) @ prob.Gl + K_soc
         # breakdown retries boost the regularization (badc grows on bad steps)
         diag_scale = jnp.mean(jnp.diagonal(K)) + 1.0
         boost = badc.astype(dtype) ** 2 * jnp.asarray(1e-4, dtype) * diag_scale
         K = K + boost * jnp.eye(nv, dtype=dtype)
         L = spd_factor(K, jitter=kappa)
 
-        def winv_lam_dc(Wi, lam, dc):
-            """W^{-1} (lam^{-1} o d_c)."""
-            return Wi @ _soc_prod(_soc_inv(lam), dc)
+        def winv_lam_dc(dq_c):
+            """W^{-1} (lam^{-1} o d_c), all cones at once."""
+            t = jax.vmap(lambda l, d: _soc_prod(_soc_inv(l), d))(lamq, dq_c)
+            return socWinv(t)
 
         def solve_dir(dl_c, dq_c):
             """Newton direction for complementarity targets (dl_c over R+,
@@ -323,19 +398,18 @@ def cone_qp_solve(
 
             Reduction: dz = W^{-2}(G dv + r_p) - W^{-1}(lam^{-1} o d_c),
             K dv = -(r_d + G'[W^{-2} r_p - W^{-1}(lam^{-1} o d_c)])."""
+            wld = winv_lam_dc(dq_c)
             rhs = -(r_d
                     + prob.Gl.T @ (wl2 * r_pl - dl_c / sl)
                     + jnp.einsum("cpv,cp->v", prob.Gq,
-                                 jnp.einsum("cpr,cr->cp", Wq2inv, r_pq)
-                                 - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)))
+                                 socW2inv(r_pq) - wld))
             dv = spd_apply(L, rhs)
             Gdv_l = prob.Gl @ dv
             Gdv_q = jnp.einsum("cpv,v->cp", prob.Gq, dv)
             dsl = -r_pl - Gdv_l
             dsq = -r_pq - Gdv_q
             dzl = wl2 * (Gdv_l + r_pl) - dl_c / sl
-            dzq = jnp.einsum("cpr,cr->cp", Wq2inv, Gdv_q + r_pq) \
-                - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)
+            dzq = socW2inv(Gdv_q + r_pq) - wld
             return dv, dsl, dzl, dsq, dzq
 
         def step_len(sl_, dsl, zl_, dzl, sq_, dsq, zq_, dzq):
@@ -359,8 +433,8 @@ def cone_qp_solve(
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
 
         # corrector: d_c = lam o lam + (W^{-T} ds_aff) o (W dz_aff) - sigma mu e
-        eta_a = jax.vmap(lambda Wi, x: Wi @ x)(Wqinv, dsq_a)  # W^{-T} ds_aff
-        th_a = jax.vmap(lambda Wm, x: Wm @ x)(Wq, dzq_a)  # W dz_aff
+        eta_a = socWinv(dsq_a)  # W^{-T} ds_aff (W symmetric)
+        th_a = socW(dzq_a)  # W dz_aff
         so_l = dsl_a * dzl_a  # second-order complementarity terms
         so_q = jax.vmap(_soc_prod)(eta_a, th_a)
         lam2 = jax.vmap(_soc_prod)(lamq, lamq)
@@ -445,16 +519,25 @@ def cone_qp_solve(
         steps_o = nsteps + jnp.where(done, 0, 1).astype(jnp.int32)
         badc_o = jnp.where(done, badc, jnp.where(step_bad, badc + 1, 0))
         give_up = badc_o >= 4
+        trace = dict(mu=mu_n, a=a, a_aff=a_a, sigma=sigma, rp=rp_inf,
+                     rd=rd_inf, bad=step_bad) if debug_trace else None
         return (v_o, sl_o, zl_o, sq_o, zq_o,
-                done | now_done | give_up, ok | now_done, mu_o, steps_o, badc_o)
+                done | now_done | give_up, ok | now_done, mu_o, steps_o,
+                badc_o), trace
 
     carry0 = (v0, sl0, zl0, sq0, zq0,
               jnp.asarray(False), jnp.asarray(False),
               jnp.asarray(1.0, dtype), jnp.asarray(0, jnp.int32),
               jnp.asarray(0, jnp.int32))
+    if debug_trace:
+        # fixed-length scan carrying the per-iteration diagnostics
+        (v, sl, zl, sq, zq, done, ok, mu, nsteps, _), tr = lax.scan(
+            lambda c, _: body(c), carry0, None, length=iters)
+        stats = dict(mu=mu, iters=nsteps, converged=ok, trace=tr)
+        return v, (sl, sq), (zl, zq), stats
     # while_loop exits as soon as `done` latches (converged or gave up):
     # a generous `iters` cap costs nothing on easy/warm solves
     v, sl, zl, sq, zq, done, ok, mu, nsteps, _ = lax.while_loop(
-        lambda c: (~c[5]) & (c[8] < iters), body, carry0)
+        lambda c: (~c[5]) & (c[8] < iters), lambda c: body(c)[0], carry0)
     stats = dict(mu=mu, iters=nsteps, converged=ok)
     return v, (sl, sq), (zl, zq), stats

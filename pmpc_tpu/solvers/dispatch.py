@@ -283,12 +283,11 @@ def affine_solve_np(
         # resid=inf in benchmarks/ab_long_horizon_out.txt) exactly where the
         # O(N) stage-structured path starts winning on throughput too. Route
         # eligible long-horizon problems to it; anything the riccati path
-        # cannot express (slew, weights, state boxes, cones, smoothing) stays
-        # on the condensed path. Override with settings["method"] either way.
+        # cannot express (cones, extras, smoothing) stays on the condensed
+        # path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            x_l is None and x_u is None
-            and not extra_cstrs and u_soc_r is None and not smooth_cstr
+            not extra_cstrs and u_soc_r is None and not smooth_cstr
             and diff_cost_fn is None
             and not float(settings.get("mu_target", 0.0) or 0.0) > 0.0
             and str(settings.get("solver", "")).upper()
@@ -323,13 +322,13 @@ def affine_solve_np(
                     or np.any(np.asarray(slew_reg0) != 0))
 
     if want_riccati and has_ineq:
-        # u-box bounds only: the stage-structured Mehrotra IPM (riccati_ipm);
-        # anything richer needs the condensed machinery
-        if (x_l is not None or x_u is not None or extra_cstrs
-                or u_soc_r is not None or smooth_cstr):
+        # box bounds (control AND state): the stage-structured Mehrotra IPM
+        # (riccati_ipm); cones, extras and smoothing need the condensed
+        # machinery
+        if extra_cstrs or u_soc_r is not None or smooth_cstr:
             raise NotImplementedError(
-                "method='riccati' supports u-box bounds only; state boxes, "
-                "cones, extras and smoothing need the condensed path")
+                "method='riccati' supports box bounds only; cones, extras "
+                "and smoothing need the condensed path")
         udim = fu.shape[-1]
         if u_l is None:  # one-sided bounds: absent side at -inf/+inf
             u_l = np.full((M, N, udim), -np.inf, dtype=f.dtype)
@@ -338,7 +337,8 @@ def affine_solve_np(
         from .riccati_ipm import riccati_ipm_solve_np
 
         return riccati_ipm_solve_np(
-            base_args, reg_args, u_l, u_u, Nc=Nc, settings=settings)
+            base_args, reg_args, u_l, u_u, Nc=Nc, settings=settings,
+            x_l=x_l, x_u=x_u)
 
     if not has_ineq:
         if want_riccati:

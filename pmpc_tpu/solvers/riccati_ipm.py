@@ -252,6 +252,8 @@ def riccati_ipm_core(
     warm: Optional[Tuple] = None,
     tol_dynamic: Optional[jax.Array] = None,
     tau: Optional[float] = None,
+    x_lo=None,
+    x_hi=None,
 ):
     """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
 
@@ -262,6 +264,15 @@ def riccati_ipm_core(
             particle-0 convention of ``lqp_utils.jl:323-331``).
         lo_f/hi_f (M, nfu): free control bounds, nfu = (N - Nc) * udim.
         warm: (theta, uf, s, lam) from a previous nearby solve.
+        x_lo/x_hi (M, N, nxb): STATE box bounds on the rolled-out states
+            x_1..x_N (+-inf rows inactive). ``nxb`` may be smaller than the
+            stage state dim (slew augmentation appends control memory the box
+            must not see). State rows stay O(N): their slacks/directions come
+            from forward rollouts, their multiplier adjoints from a backward
+            scan, and their barrier weights land on the per-stage ``Qt_j``
+            diagonal, which the Riccati factorization absorbs — the O(N)
+            analog of the reference's sparse state rows
+            (``PMPC.jl/src/lqp_utils.jl:306-393``).
 
     Returns (theta (nct,), uf (M, nfu), stats) — recover trajectories with
     `recover_XU_stage`.
@@ -273,33 +284,98 @@ def riccati_ipm_core(
     Es, free, nct, maskc = _selectors(N, Nc, udim, dtype)
     nfu = (N - Nc) * udim
     Nf = N - Nc
-    mtot = 2 * nct + 2 * M * nfu
+    has_x = x_lo is not None
+    nxb = x_lo.shape[-1] if has_x else 0
+    mx = M * N * nxb
+    mtot = 2 * nct + 2 * M * nfu + 2 * mx
     o_chi, o_flo, o_fhi = nct, 2 * nct, 2 * nct + M * nfu
+    o_xlo = 2 * nct + 2 * M * nfu
+    o_xhi = o_xlo + mx
 
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
     if tol_dynamic is not None:
         tol = jnp.maximum(jnp.asarray(tol_dynamic, dtype=dtype), tol)
     tau = jnp.asarray(0.99 if tau is None else tau, dtype=dtype)
 
-    lo_flat = jnp.concatenate([lo_c, hi_c, lo_f.reshape(-1), hi_f.reshape(-1)])
+    bound_blocks = [lo_c, hi_c, lo_f.reshape(-1), hi_f.reshape(-1)]
+    if has_x:
+        bound_blocks += [x_lo.reshape(-1), x_hi.reshape(-1)]
+    lo_flat = jnp.concatenate(bound_blocks)
     mask = jnp.isfinite(lo_flat) & jnp.concatenate([
         maskc > 0, maskc > 0,
-        jnp.ones((2 * M * nfu,), bool)])
+        jnp.ones((mtot - 2 * nct,), bool)])
     n_act = jnp.maximum(jnp.sum(mask).astype(dtype), 1.0)
 
+    # ---- state-row machinery (all O(N) scans; no condensed sensitivity) ----
+    def _stage_U(theta, uf):
+        """Full (M, N, udim) stage controls from the reduced variables."""
+        Uc = jnp.einsum("nuk,k->nu", Es, theta * maskc)
+        pad = jnp.zeros((M, Nc, udim), dtype)
+        Uf = jnp.concatenate([pad, uf.reshape(M, Nf, udim)], axis=1)
+        return Uc[None] + Uf
+
+    def _roll_one(x0_, c_, A_, B_, U_):
+        def fstep(x, inp):
+            c_j, A_j, B_j, u_j = inp
+            xn = c_j + A_j @ x + B_j @ u_j
+            return xn, xn
+
+        return lax.scan(fstep, x0_, (c_, A_, B_, U_))[1]
+
+    def _states_of(theta, uf):
+        X = jax.vmap(_roll_one)(x0, c, A, B, _stage_U(theta, uf))
+        return X[..., :nxb]
+
+    def _dstates_of(dth, duf):
+        dU = _stage_U(dth, duf)
+        dX = jax.vmap(_roll_one)(
+            jnp.zeros_like(x0), jnp.zeros_like(c), A, B, dU)
+        return dX[..., :nxb]
+
+    def _adj_one(A_, B_, vX_):
+        """Backward adjoint: gradient w.r.t. stage controls of sum_j v_j'x_j."""
+
+        def bstep(p, inp):
+            A_j, B_j, v_j = inp
+            p = p + v_j
+            return A_j.T @ p, B_j.T @ p
+
+        _, gU = lax.scan(bstep, jnp.zeros((A_.shape[-1],), A_.dtype),
+                         (A_, B_, vX_), reverse=True)
+        return gU
+
+    def _x_adjoint(vx):
+        """G_x' vx for state-row multipliers vx (M, N, nxb) -> (gth, gf)."""
+        vX = jnp.zeros((M, N, xdim), dtype).at[..., :nxb].set(vx)
+        gU = jax.vmap(_adj_one)(A, B, vX)
+        gth = jnp.einsum("nuk,mnu->k", Es, gU) * maskc
+        gf = gU[:, Nc:, :].reshape(M, nfu)
+        return gth, gf
+
     def slack_vals(theta, uf):
-        return jnp.concatenate([
-            theta - lo_c, hi_c - theta,
-            (uf - lo_f).reshape(-1), (hi_f - uf).reshape(-1),
-        ])
+        base = [theta - lo_c, hi_c - theta,
+                (uf - lo_f).reshape(-1), (hi_f - uf).reshape(-1)]
+        if has_x:
+            Xb = _states_of(theta, uf)
+            base += [(Xb - x_lo).reshape(-1), (x_hi - Xb).reshape(-1)]
+        return jnp.concatenate(base)
 
     def g_dot_z(dth, duf):
         duf_f = duf.reshape(-1)
-        return jnp.concatenate([-dth, dth, -duf_f, duf_f])
+        blocks = [-dth, dth, -duf_f, duf_f]
+        if has_x:
+            dX = _dstates_of(dth, duf).reshape(-1)
+            blocks += [-dX, dX]
+        return jnp.concatenate(blocks)
 
     def gT_dot(v):
         bc = v[o_chi:o_flo] - v[:nct]
-        bf = (v[o_fhi:] - v[o_flo:o_fhi]).reshape(M, nfu)
+        bf = (v[o_fhi:o_xlo] - v[o_flo:o_fhi]).reshape(M, nfu)
+        if has_x:
+            vx = (v[o_xhi:] - v[o_xlo:o_xhi]).reshape(M, N, nxb)
+            gth, gf = _x_adjoint(vx)
+            bc = bc + gth
+            bf = bf + gf
         return bc, bf
 
     def grad_lagrangian(theta, uf, lam):
@@ -318,13 +394,19 @@ def riccati_ipm_core(
     zeros_c = jnp.zeros((M, N, xdim), dtype)
     zeros_x0 = jnp.zeros((M, xdim), dtype)
 
-    def newton_factor(wc, wf):
+    def newton_factor(wc, wf, wx=None):
         """Factor H + diag(w): free-stage weights onto Rt_j, consensus weights
-        onto the theta Schur complement (applied in `solve`)."""
+        onto the theta Schur complement (applied in `solve`), state-box
+        weights onto the Qt_j diagonal (the stage form of G_x' diag(wx) G_x —
+        the recursion propagates them through the dynamics chain)."""
         wf_stage = to_stages(wf)  # (M, N, udim), zero on consensus stages
         eye_u = jnp.eye(udim, dtype=dtype)
         Rt_eff = Rt + wf_stage[:, :, :, None] * eye_u
-        fac = riccati_factor(A, B, Qt, Rt_eff, Es, free, xdim, kappa=kappa)
+        Qt_eff = Qt
+        if wx is not None:
+            ixb = jnp.arange(nxb)
+            Qt_eff = Qt.at[:, :, ixb, ixb].add(wx)
+        fac = riccati_factor(A, B, Qt_eff, Rt_eff, Es, free, xdim, kappa=kappa)
 
         def solve(bc, bf):
             th, _, dU = _consensus_solve(
@@ -365,8 +447,10 @@ def riccati_ipm_core(
         r_p = jnp.where(mask, s - sv, 0.0)
         gc, gf = grad_lagrangian(theta, uf, lam)
         w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
-        solve_K = newton_factor(w[:nct] + w[o_chi:o_flo],
-                                (w[o_flo:o_fhi] + w[o_fhi:]).reshape(M, nfu))
+        wx = (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, N, nxb) if has_x else None
+        solve_K = newton_factor(
+            w[:nct] + w[o_chi:o_flo],
+            (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nfu), wx)
 
         def newton_rhs(r_c):
             v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
@@ -463,6 +547,7 @@ def recover_XU_stage(theta, uf, x0, c, A, B, Nc: int, maskc=None):
 def riccati_ipm_solve_np(
     base_args, reg_args, u_l, u_u, Nc: int,
     settings: Optional[dict] = None,
+    x_l=None, x_u=None,
 ):
     """numpy frontend of the stage-structured box IPM (host-path analog of
     `ipm.ipm_solve_np`): threads a warm start through
@@ -470,12 +555,14 @@ def riccati_ipm_solve_np(
     settings = settings or {}
     f = base_args[1]
     M, N = f.shape[0], f.shape[1]
+    xdim = np.asarray(base_args[0]).shape[-1]
     udim = base_args[3].shape[-1]
     dtype = np.dtype(np.asarray(f).dtype)
     nc = Nc * udim
     nct = max(nc, 1)
     nfu = (N - Nc) * udim
-    mtot = 2 * nct + 2 * M * nfu
+    has_x = x_l is not None or x_u is not None
+    mtot = 2 * nct + 2 * M * nfu + (2 * M * N * xdim if has_x else 0)
 
     warm = None
     prev_state = settings.get("solver_state") or {}
@@ -509,6 +596,13 @@ def riccati_ipm_solve_np(
             slew_reg=jnp.asarray(np.asarray(reg_args[2], dtype=dtype)),
             slew_reg0=jnp.asarray(np.asarray(reg_args[3], dtype=dtype)),
             slew_um1=jnp.asarray(np.asarray(reg_args[4], dtype=dtype)))
+    xbox_kw = {}
+    if has_x:
+        # one-sided state boxes: absent side at +-inf (the core masks them)
+        xl = x_l if x_l is not None else np.full((M, N, xdim), -np.inf)
+        xu = x_u if x_u is not None else np.full((M, N, xdim), np.inf)
+        xbox_kw = dict(x_l=jnp.asarray(np.asarray(xl, dtype=dtype)),
+                       x_u=jnp.asarray(np.asarray(xu, dtype=dtype)))
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
@@ -517,7 +611,7 @@ def riccati_ipm_solve_np(
         Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
-             else None), **slew_kw)
+             else None), **slew_kw, **xbox_kw)
     # one device->host transfer (see ipm_solve_np): per-array pulls are
     # blocking round trips through a remote-TPU tunnel
     (X, U, th_h, uf_h, s_h, lam_h, mu_h, it_h, conv_h, fail_h) = \
@@ -536,13 +630,16 @@ def riccati_ipm_solve_np(
 
 def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
                           reg_x, reg_u, u_l, u_u, Nc: int,
-                          slew_reg=None, slew_reg0=None, slew_um1=None, **kw):
+                          slew_reg=None, slew_reg0=None, slew_um1=None,
+                          x_l=None, x_u=None, **kw):
     """One box-constrained SCP subproblem via the stage-structured IPM.
 
     Batched over the leading particle axis; bounds (M, N, udim) with the
     consensus stages taking particle 0's rows. Slew coupling (optional,
     (M,)/(M, udim) arrays) enters via `riccati.augment_slew_stages` state
     augmentation — the bounds/IPM layout is control-space and unchanged.
+    State boxes x_l/x_u (M, N, xdim) apply to the ORIGINAL state entries
+    (the slew augmentation's control-memory tail is unbounded).
     Returns (X, U, stats)."""
     from .riccati import augment_slew_stages
 
@@ -568,7 +665,8 @@ def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
         hi_c = jnp.full((nct,), jnp.inf, dtype)
     theta, uf, stats = riccati_ipm_core(
         x0s, c, A, B, Qt, xt, Rt, ut,
-        lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc, **kw)
+        lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc,
+        x_lo=x_l, x_hi=x_u, **kw)
     _, _, _, maskc = _selectors(N, Nc, udim, dtype)
     X, U = recover_XU_stage(theta, uf, x0s, c, A, B, Nc, maskc)
     return X[..., :xdim], U, dict(stats, theta=theta, uf=uf)

@@ -50,8 +50,7 @@ def test_benchmarked_budget_delivers_headline_quality():
     import bench as bench_mod
     from __graft_entry__ import _flagship, _dubins
 
-    solver, data = _flagship(max_it=bench_mod.MAX_IT,
-                             res_tol=bench_mod.RES_TOL, accel="AA")
+    solver, data = _flagship(**bench_mod.HEADLINE_KW)
     X, U, info = jax.jit(solver)(data)
     resid = float(info["resid"])
     iters = int(info["iters"])

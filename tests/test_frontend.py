@@ -207,9 +207,8 @@ def test_solve_problems_fused_rejects_unsupported():
     f_fn = make_f_fx_fu_fn(lambda x, u: x + 0.1 * jnp.concatenate([u, u]))
     p = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(2), (5, 1, 1)),
              R=np.tile(np.eye(1), (5, 1, 1)), x0=np.ones(2),
-             solver_settings=dict(smooth_cstr="logbarrier", smooth_alpha=10.0))
-    # logbarrier smoothing generates exp cones: the batched cone driver
-    # refuses it (squareplus smoothing batches fine, see test_conebatch)
+             solver_settings=dict(weights=np.ones(1)))
+    # per-particle weights are not batchable yet: clear rejection
     with _pytest.raises(ValueError, match="not support"):
         pmpc_tpu.solve_problems([p, p], fused=True)
     # and a non-protocol callback is rejected with a clear message

@@ -75,7 +75,131 @@ def test_riccati_gates_unsupported():
                          method="riccati", has_u_soc=True)
     with pytest.raises(NotImplementedError):
         build_scp_solver(unicycle_step, N=8, xdim=4, udim=2, M=2, Nc=2,
-                         method="riccati", has_x_bounds=True)
+                         method="priccati", has_x_bounds=True)
+
+
+@pytest.mark.parametrize("M,N,Nc", [(3, 10, 3), (2, 9, 0)])
+def test_riccati_ipm_state_boxes_match_condensed(M, N, Nc):
+    """State-box rows on the O(N) path: barrier weights on Qt_j + rollout
+    slacks + adjoint multiplier pulls must reproduce the condensed IPM's
+    solution (same Mehrotra algebra, different Newton solver). Role of the
+    reference's sparse state rows, PMPC.jl/src/lqp_utils.jl:306-393."""
+    rng = np.random.default_rng(31 + M + N)
+    xdim, udim = 4, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    u_l = np.full((M, N, udim), -0.6)
+    u_u = np.full((M, N, udim), 0.6)
+    base_args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+                 p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    reg_args = (np.full(M, 1.0), np.full(M, 0.1), np.zeros(M), np.zeros(M),
+                np.zeros((M, udim)))
+    # state box derived from the u-box-only solve so it binds but stays
+    # feasible (a fixed box can be infeasible against random dynamics)
+    X0, U0, d0 = ipm_solve_np(base_args, reg_args, u_l, u_u, None, None,
+                              Nc=Nc, settings=dict(ipm_iters=60,
+                                                   ipm_tol_exp=-10))
+    assert d0["ipm_converged"]
+    hi = 0.93 * np.abs(X0).max()
+    x_l = np.full((M, N, xdim), -hi)
+    x_u = np.full((M, N, xdim), hi)
+    Xc, Uc, dc = ipm_solve_np(base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc,
+                              settings=dict(ipm_iters=60, ipm_tol_exp=-10))
+    assert dc["ipm_converged"]
+    Xr, Ur, st = riccati_ipm_solve_scp(
+        *[jnp.asarray(a) for a in base_args],
+        jnp.full((M,), 1.0), jnp.full((M,), 0.1),
+        jnp.asarray(u_l), jnp.asarray(u_u), Nc=Nc, iters=60, tol_exp=-10,
+        x_l=jnp.asarray(x_l), x_u=jnp.asarray(x_u))
+    assert bool(st["converged"]) and not bool(st["failed"])
+    np.testing.assert_allclose(np.asarray(Ur), Uc, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(Xr), Xc, atol=1e-6)
+    # the state box must actually bind for this test to mean anything
+    assert (np.abs(np.abs(np.asarray(Xr)) - hi) < 1e-4).any()
+    assert np.abs(np.asarray(Xr)).max() <= hi + 1e-5
+
+
+def test_riccati_ipm_one_sided_state_box():
+    """One-sided state boxes (x_u only) through the host dispatcher with
+    method='riccati' match the condensed route."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(41)
+    M, N, xdim, udim, Nc = 2, 8, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=np.full((M, N, udim), -0.6), u_u=np.full((M, N, udim), 0.6),
+        x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    ipm_settings = dict(ipm_tol_exp=-10, ipm_iters=60)
+    # binding-but-feasible one-sided cap from the u-box-only solve
+    X0, U0, d0 = affine_solve_np(*args, **common, settings=ipm_settings)
+    x_u = np.full((M, N, xdim), 0.95 * X0.max())
+    common["x_u"] = x_u
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings=ipm_settings)
+    assert dc["ipm_converged"]
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common, settings=dict(method="riccati", **ipm_settings))
+    assert dr["ipm_converged"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-6)
+    assert Xr.max() <= x_u.flat[0] + 1e-6
+
+
+def test_riccati_ipm_state_boxes_with_slew():
+    """State boxes + slew coupling together on the O(N) path: the slew
+    augmentation widens the stage state, the box must keep applying only to
+    the original entries. Condensed f64 is the oracle."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(47)
+    M, N, xdim, udim, Nc = 2, 9, 3, 2, 3
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.full(M, 0.3), slew_reg0=np.full(M, 0.5),
+        slew_um1=rng.normal(size=(M, udim)) * 0.1,
+        u_l=np.full((M, N, udim), -0.7), u_u=np.full((M, N, udim), 0.7),
+        x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    ipm_settings = dict(ipm_iters=60, ipm_tol_exp=-10)
+    X0, U0, d0 = affine_solve_np(*args, **common, settings=ipm_settings)
+    hi = 0.95 * np.abs(X0).max()
+    common["x_l"] = np.full((M, N, xdim), -hi)
+    common["x_u"] = np.full((M, N, xdim), hi)
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings=ipm_settings)
+    assert dc["ipm_converged"]
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common, settings=dict(method="riccati", **ipm_settings))
+    assert dr["ipm_converged"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-6)
+    np.testing.assert_allclose(Xr, Xc, atol=1e-6)
+
+
+def test_fused_riccati_state_boxes_matches_condensed():
+    """Fused device loop with method='riccati' + has_x_bounds (no u bounds:
+    the finite u arrays in SCPData must be ignored per the static contract)."""
+    N, xdim, udim, M, Nc = 12, 4, 2, 3, 3
+    rng = np.random.default_rng(51)
+    d = make_scp_data(
+        np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim)),
+        np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        reg_x=1.0, reg_u=0.1,
+        x_l=-1.05 * np.ones((M, N, xdim)), x_u=1.05 * np.ones((M, N, xdim)))
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=Nc, max_it=10, res_tol=1e-7,
+              has_x_bounds=True, ipm_iters=50, ipm_tol_exp=-10,
+              collect_stats=True, adaptive_tol=False)
+    Xc, Uc, ic = build_scp_solver(unicycle_step, **kw)(d)
+    Xr, Ur, ir = build_scp_solver(unicycle_step, method="riccati", **kw)(d)
+    np.testing.assert_allclose(np.asarray(Ur), np.asarray(Uc), atol=1e-7)
+    X = np.asarray(Xr)
+    assert X[:, 1:].max() <= 1.05 + 1e-6
+    assert (np.abs(X[:, 1:].max() - 1.05) < 1e-4) or (
+        np.abs(np.abs(X[:, 1:]) - 1.05) < 1e-4).any()
 
 
 def test_host_dispatch_riccati_bounds():
@@ -208,11 +332,16 @@ def test_auto_riccati_long_horizon(monkeypatch):
         settings=dict(ipm_tol_exp=-10, ipm_iters=40))
     assert len(calls) == 2  # condensed baseline did not take the riccati route
     np.testing.assert_allclose(Us, Uc, atol=1e-6)
-    # above it but ineligible (state boxes): condensed, no raise
+    # state boxes are now eligible for the auto route too
     affine_solve_np(*args, **dict(common, x_l=np.full((M, N, xdim), -50.0),
                                   x_u=np.full((M, N, xdim), 50.0)),
                     settings=dict(riccati_auto_N=4))
-    assert len(calls) == 2
+    assert len(calls) == 3
+    # above it but ineligible (smoothing): condensed, no raise
+    affine_solve_np(*args, **common,
+                    settings=dict(riccati_auto_N=4, smooth_cstr="squareplus",
+                                  smooth_alpha=50.0))
+    assert len(calls) == 3
 
 
 def test_long_horizon_default_settings_solves():
@@ -233,6 +362,30 @@ def test_long_horizon_default_settings_solves():
         u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)))
     assert X is not None and np.isfinite(U).all()
     assert np.abs(U).max() <= 1.0 + 1e-6
+
+
+def test_long_horizon_state_box_default_settings():
+    """N past the condensation overflow with STATE boxes + slew at default
+    settings: the auto riccati route (now carrying state rows) must return a
+    feasible converging solution — this exact problem class had no f32 route
+    in round 3 (dispatch gated state boxes off riccati; condensed overflows
+    at N~240)."""
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 250, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    X, U, d = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim), max_it=10, res_tol=1e-3, verbose=False,
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+        x_l=-np.full((N, xdim), 6.0), x_u=np.full((N, xdim), 6.0),
+        slew_reg=0.1)
+    assert X is not None and np.isfinite(U).all()
+    assert np.abs(U).max() <= 1.0 + 1e-5
+    assert np.abs(X).max() <= 6.0 + 1e-3
+    assert d["hist"][-1]["resid"] < d["hist"][0]["resid"]
 
 
 def test_riccati_slew_eq_matches_condensed():
