@@ -17,6 +17,15 @@ import os
 import sys
 import time
 
+# the f64 batched cone path is CPU-pinned and shards its batch over the
+# process's XLA CPU devices (conebatch auto-shard): expose one per core.
+# Must happen before jax initializes -> re-exec.
+if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={os.cpu_count()}").strip()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
@@ -153,12 +162,17 @@ def main():
         [r[2]["resid"] for r in out if r[2] is not None]))
     print(json.dumps(line), flush=True)
 
-    # CONVERGING batched CVaR: k = M-1 keeps the k-worst set stable (only
-    # the single best particle is excluded) and a reachable res_tol lets the
-    # convergence contract latch under load, not only in unit tests
-    probs_c = [dict(mk(i, k=Mb - 1), max_it=15, res_tol=1e-4)
-               for i in range(B)]
-    line, out = run_batch(f"batched_cvar_k{Mb-1}_B{B}_M{Mb}_tol1e-4", probs_c)
+    # CONVERGING batched CVaR: FULL consensus (the reference's CVaR default,
+    # main.jl:127) keeps every control in the k-worst objective's gradient
+    # (with Nc<N the non-worst particles' free tails are gradient-free and
+    # the SCP wanders — measured in round 3), k=M-1 keeps the k-worst set
+    # stable, and a reachable res_tol lets the convergence contract latch
+    # under load, not only in unit tests
+    probs_c = [dict(mk(i), max_it=40, res_tol=1e-3) for i in range(B)]
+    for p in probs_c:
+        p["solver_settings"] = dict(k=Mb - 1)
+    line, out = run_batch(f"batched_cvar_k{Mb-1}_fullcons_B{B}_M{Mb}_tol1e-3",
+                          probs_c)
     line["resid_median"] = float(np.median(
         [r[2]["resid"] for r in out if r[2] is not None]))
     print(json.dumps(line), flush=True)

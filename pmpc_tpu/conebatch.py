@@ -28,6 +28,80 @@ _UNSUPPORTED_PROBLEM_KEYS = ("lin_cost_fn", "extra_cstrs_fns", "filter_method",
                              "return_min_viol", "diff_cost_fn")
 
 
+def _cone_scp_step(state, warm_in, probs_c, bounds_c, ecs_c, extras_q_c,
+                   alpha, beta, kv, eps, *, dyn, dims, sig, smooth_method,
+                   Nc, has_cvar, iters, tol_exp, kappa, adaptive, res_tol):
+    """ONE device program for one batched SCP iteration: linearize +
+    adaptive forcing + composed cone solve + accept/reject bookkeeping.
+    Module-level (persistently jit-cached per static signature) — the host
+    loop pulls a single ``done.all()`` scalar per iteration; the previous
+    host-side accept logic pulled full X/U batches every iteration and
+    dominated once the IPM got fast."""
+    import jax
+    import jax.numpy as jnp
+
+    from .solvers.compose import composed_solve_batch_device
+    from .dynamics import linearize
+
+    X_p, U_p, resid_v, done_v, failed_v = state
+    B = X_p.shape[0]
+    x_at = jnp.concatenate(
+        [probs_c["x0"][:, :, None, :], X_p[:, :, :-1, :]], axis=2)
+    f, fx, fu = linearize(dyn, x_at, U_p)
+    probs_it = dict(probs_c, f=f, fx=fx, fu=fu, X_prev=X_p, U_prev=U_p)
+    tol_dyn = None
+    if adaptive:
+        r = jnp.minimum(jnp.where(jnp.isfinite(resid_v), resid_v, 1e3), 1e3)
+        tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(X_p.dtype)
+    X_new, U_new, aux, stats, warm_new = composed_solve_batch_device(
+        probs_it, bounds_c, ecs_c, extras_q_c, dims, sig, smooth_method,
+        alpha, beta, Nc=Nc, k=kv, eps=eps, has_cvar=has_cvar,
+        iters=iters, tol_exp=tol_exp, kappa=kappa,
+        tol_dynamic=tol_dyn, warm=warm_in)
+    mu_v, conv_v = stats["mu"], stats["converged"]
+    # per-problem reject contract: a hard-failed subproblem (IPM far from
+    # its central path) freezes that problem's iterate
+    tol_eff = jnp.maximum(
+        10.0 ** tol_exp, 0.0 if tol_dyn is None else jnp.max(tol_dyn))
+    hard_fail = (~conv_v) & (~jnp.isfinite(mu_v) | (mu_v > 1e2 * tol_eff))
+    dX, dU = X_new - X_p, U_new - U_p
+    r_new = jnp.maximum(
+        jnp.max(jnp.linalg.norm(dX, axis=-1), axis=(1, 2)),
+        jnp.max(jnp.linalg.norm(dU, axis=-1), axis=(1, 2)))
+    bad = hard_fail | ~jnp.isfinite(r_new)
+    accept = ~(done_v | bad)
+    failed_v = failed_v | (bad & ~done_v & ~jnp.isfinite(resid_v))
+    acc4 = accept[:, None, None, None]
+    X_o = jnp.where(acc4, X_new, X_p)
+    U_o = jnp.where(acc4, U_new, U_p)
+    if warm_in is None:
+        warm_out = warm_new
+    else:
+        warm_out = jax.tree.map(
+            lambda n, o: jnp.where(
+                accept.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+            warm_new, warm_in)
+    resid_o = jnp.where(accept, r_new, resid_v)
+    done_o = done_v | (accept & (r_new < res_tol)) | bad
+    return (X_o, U_o, resid_o, done_o, failed_v), warm_out
+
+
+_STEP_JIT = None
+
+
+def _get_step_jit():
+    """The ONE persistent jit wrapper of `_cone_scp_step` (a fresh jax.jit
+    per solve call would recompile the whole step every time)."""
+    global _STEP_JIT
+    if _STEP_JIT is None:
+        import jax
+
+        _STEP_JIT = jax.jit(_cone_scp_step, static_argnames=(
+            "dyn", "dims", "sig", "smooth_method", "Nc", "has_cvar",
+            "iters", "tol_exp", "kappa", "adaptive", "res_tol"))
+    return _STEP_JIT
+
+
 def _canon_problem(p: Dict[str, Any]) -> Dict[str, Any]:
     """Canonicalize one problem dict to batched (M, ...) float64 arrays
     (the `scp._SCPProblem.build` conventions, minus callbacks)."""
@@ -211,6 +285,34 @@ def solve_problems_cone(
         bounds = {k: cast(v) for k, v in bounds_np.items()}
         ecs = tuple(tuple(cast(a) for a in ec) for ec in ecs_np)
         extras_q = {k: cast(v) for k, v in extras_q_np.items()}
+
+        # multi-core: the f64 cone path is CPU-pinned (reference parity) and
+        # XLA:CPU executes one batched program mostly single-threaded. When
+        # the process exposes several XLA CPU devices (run with
+        # XLA_FLAGS=--xla_force_host_platform_device_count=<cores>), shard
+        # the batch axis across them: the B cone IPMs are independent, so
+        # GSPMD runs the partitions on separate device threads (measured 3x
+        # on 4 cores at B=64 — see benchmarks/profile_compose.py).
+        shard_b = None
+        try:
+            cpudevs = jax.devices("cpu")
+        except RuntimeError:
+            cpudevs = []
+        on_cpu = (np.dtype(cdt) == np.float64
+                  or jax.default_backend() == "cpu")
+        nshard = len(cpudevs)
+        while nshard > 1 and B % nshard:
+            nshard -= 1
+        if on_cpu and nshard > 1 and str(
+                ss0.get("cone_device", "auto")) in ("auto", "cpu"):
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+            mesh = Mesh(np.asarray(cpudevs[:nshard]), ("b",))
+            shard_b = NamedSharding(mesh, PartitionSpec("b"))
+            place = lambda t: jax.tree.map(
+                lambda a: jax.device_put(a, shard_b), t)
+            probs, bounds, ecs, extras_q = place(
+                (probs, bounds, ecs, extras_q))
         alpha = cast(float(ss0.get("smooth_alpha", 1.0) or 1.0))
         beta = cast(float(ss0.get("smooth_beta", 1.0) or 1.0))
         kv = cast(float(k_set)) if has_cvar else None
@@ -219,67 +321,29 @@ def solve_problems_cone(
 
         X_prev = probs["X_prev"]  # (B, M, N, xdim) device
         U_prev = probs["U_prev"]
-        x0 = probs["x0"]
-        done = np.zeros(B, bool)
-        resid_b = np.full(B, np.inf)
-        failed_b = np.zeros(B, bool)
-        warm = None
         iters_used = 0
         t_aff = []
         import time as _time
 
+        state = (X_prev, U_prev, cast(np.full((B,), np.inf)),
+                 jnp.zeros((B,), bool), jnp.zeros((B,), bool))
+        if shard_b is not None:
+            state = jax.tree.map(lambda a: jax.device_put(a, shard_b), state)
+        warm = None
         for it in range(max_it):
-            x_at = jnp.concatenate([x0[:, :, None, :], X_prev[:, :, :-1, :]],
-                                   axis=2)
-            f, fx, fu = linearize(dyn, x_at, U_prev)
-            probs_it = dict(probs, f=f, fx=fx, fu=fu,
-                            X_prev=X_prev, U_prev=U_prev)
-            tol_dyn = None
-            if adaptive:
-                r = np.minimum(np.where(np.isfinite(resid_b), resid_b, 1e3),
-                               1e3)
-                tol_dyn = cast(np.clip(1e-3 * r * r, 0.0, 1e-3))
             t0 = _time.time()
-            X_new, U_new, aux, stats, warm_new = composed_solve_batch_device(
-                probs_it, bounds, ecs, extras_q, dims, sig, smooth,
-                alpha, beta, Nc=Nc, k=kv, eps=eps, has_cvar=has_cvar,
-                iters=iters, tol_exp=tol_exp, kappa=kappa,
-                tol_dynamic=tol_dyn, warm=warm)
-            mu_h, conv_h = np.asarray(stats["mu"]), np.asarray(stats["converged"])
+            state, warm = _get_step_jit()(
+                state, warm, probs, bounds, ecs, extras_q, alpha, beta,
+                kv, eps, dyn=dyn, dims=dims, sig=sig, smooth_method=smooth,
+                Nc=Nc, has_cvar=has_cvar, iters=iters, tol_exp=tol_exp,
+                kappa=kappa, adaptive=adaptive, res_tol=res_tol)
+            done_all = bool(np.asarray(state[3].all()))  # the one sync point
             t_aff.append(_time.time() - t0)
-            # per-problem reject contract: a hard-failed subproblem (IPM far
-            # from its central path) freezes that problem's iterate
-            tol_eff = max(10.0 ** tol_exp,
-                          0.0 if tol_dyn is None else float(np.max(np.asarray(tol_dyn))))
-            hard_fail = (~conv_h) & (~np.isfinite(mu_h) | (mu_h > 1e2 * tol_eff))
-            dX = np.asarray(X_new) - np.asarray(X_prev)
-            dU = np.asarray(U_new) - np.asarray(U_prev)
-            r_new = np.maximum(
-                np.max(np.linalg.norm(dX, axis=-1), axis=(1, 2)),
-                np.max(np.linalg.norm(dU, axis=-1), axis=(1, 2)))
-            bad = hard_fail | ~np.isfinite(r_new)
-            accept = ~(done | bad)
-            failed_b |= bad & ~done & (resid_b == np.inf)  # failed on it 0
-
-            acc = jnp.asarray(accept)[:, None, None, None]
-            X_prev = jnp.where(acc, X_new, X_prev)
-            U_prev = jnp.where(acc, U_new, U_prev)
-            if warm is None:
-                warm = warm_new
-            else:
-                accv = jnp.asarray(accept)
-                warm = jax.tree.map(
-                    lambda n, o: jnp.where(
-                        accv.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
-                    warm_new, warm)
-            resid_b = np.where(accept, r_new, resid_b)
-            done = done | (accept & (r_new < res_tol)) | bad
             iters_used = it + 1
-            if done.all():
+            if done_all:
                 break
 
-        X_np = np.asarray(X_prev)
-        U_np = np.asarray(U_prev)
+        X_np, U_np, resid_b, done, failed_b = (np.asarray(z) for z in state)
 
     X_traj = np.concatenate([np.asarray(probs_np["x0"])[:, :, None, :], X_np],
                             axis=2)
