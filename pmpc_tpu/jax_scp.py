@@ -158,15 +158,10 @@ def build_scp_solver(
     has_bounds = has_u_bounds or has_x_bounds or has_u_soc
     if method not in ("condensed", "riccati", "priccati"):
         raise ValueError(f"unknown method {method!r}")
-    if method in ("riccati", "priccati") and has_u_soc:
+    if method == "priccati" and (has_x_bounds or has_u_soc):
         raise NotImplementedError(
-            "method='riccati' serves the eq-only and box paths (O(N) "
-            "stage-structured IPM); SOC cones need the condensed IPM"
-        )
-    if method == "priccati" and has_x_bounds:
-        raise NotImplementedError(
-            "method='priccati' does not support state boxes; use "
-            "method='riccati'")
+            "method='priccati' does not support state boxes or SOC cones; "
+            "use method='riccati'")
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
         X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)
@@ -248,6 +243,8 @@ def build_scp_solver(
                 xbox_kw = {}
                 if has_x_bounds:
                     xbox_kw = dict(x_l=data.x_l, x_u=data.x_u)
+                if has_u_soc:
+                    xbox_kw["u_soc_r"] = data.u_soc_r
                 u_l = data.u_l if has_u_bounds else \
                     jnp.full_like(data.u_l, -jnp.inf)
                 u_u = data.u_u if has_u_bounds else \
@@ -264,6 +261,8 @@ def build_scp_solver(
                 if warm_start:
                     warm_new = (stats["theta"], stats["uf"],
                                 stats["s"], stats["lam"])
+                    if has_u_soc:
+                        warm_new = warm_new + (stats["sq"], stats["zq"])
                 else:
                     warm_new = warm
             else:

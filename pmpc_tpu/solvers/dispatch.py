@@ -287,7 +287,7 @@ def affine_solve_np(
         # path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            not extra_cstrs and u_soc_r is None and not smooth_cstr
+            not extra_cstrs and not smooth_cstr
             and diff_cost_fn is None
             and not float(settings.get("mu_target", 0.0) or 0.0) > 0.0
             and str(settings.get("solver", "")).upper()
@@ -322,13 +322,13 @@ def affine_solve_np(
                     or np.any(np.asarray(slew_reg0) != 0))
 
     if want_riccati and has_ineq:
-        # box bounds (control AND state): the stage-structured Mehrotra IPM
-        # (riccati_ipm); cones, extras and smoothing need the condensed
-        # machinery
-        if extra_cstrs or u_soc_r is not None or smooth_cstr:
+        # box bounds (control AND state) + per-stage control-norm cones: the
+        # stage-structured Mehrotra IPM (riccati_ipm); extras and smoothing
+        # need the condensed machinery
+        if extra_cstrs or smooth_cstr:
             raise NotImplementedError(
-                "method='riccati' supports box bounds only; cones, extras "
-                "and smoothing need the condensed path")
+                "method='riccati' supports box bounds and u_soc_r cones; "
+                "extras and smoothing need the condensed path")
         udim = fu.shape[-1]
         if u_l is None:  # one-sided bounds: absent side at -inf/+inf
             u_l = np.full((M, N, udim), -np.inf, dtype=f.dtype)
@@ -338,7 +338,7 @@ def affine_solve_np(
 
         return riccati_ipm_solve_np(
             base_args, reg_args, u_l, u_u, Nc=Nc, settings=settings,
-            x_l=x_l, x_u=x_u)
+            x_l=x_l, x_u=x_u, u_soc_r=u_soc_r)
 
     if not has_ineq:
         if want_riccati:

@@ -170,7 +170,8 @@ def _forward_one(x0, c, A, B, K, k, Es, free, theta):
 
 
 def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
-                     wc, theta_lin, Es, free, maskc, xdim: int, kappa: float):
+                     wc, theta_lin, Es, free, maskc, xdim: int, kappa: float,
+                     S_extra=None):
     """Solve one stage-structured system against a stored factor: per-particle
     linear backward sweeps, theta Schur reduction (the consensus sum — a psum
     when particles are sharded), per-particle forward rollouts.
@@ -188,6 +189,8 @@ def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
     # dead (padded / Nc=0) theta entries pinned to 0 via identity rows
     S_tot = jnp.sum(S, axis=0) * maskc[:, None] * maskc[None, :] \
         + jnp.diag(wc * maskc) + (1.0 - maskc) * eye + kappa * eye
+    if S_extra is not None:  # e.g. consensus-stage SOC NT blocks
+        S_tot = S_tot + S_extra * maskc[:, None] * maskc[None, :]
     rhs = (theta_lin - jnp.sum(s, axis=0)) * maskc
     theta = cholesky_solve(cholesky_factor(S_tot), rhs)
     X, U = jax.vmap(
@@ -231,12 +234,15 @@ def _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut, Nc: int, maskc):
 class RIPMState(NamedTuple):
     theta: jax.Array  # (nct,)
     uf: jax.Array     # (M, nfu)
-    s: jax.Array      # (mtot,) slacks [c_lo; c_hi; f_lo; f_hi]
+    s: jax.Array      # (mtot,) slacks [c_lo; c_hi; f_lo; f_hi; x_lo; x_hi]
     lam: jax.Array    # (mtot,)
+    sq: jax.Array     # (nq, udim+1) SOC slacks (dummy (1,1) without cones)
+    zq: jax.Array     # (nq, udim+1) SOC duals
     mu: jax.Array
     done: jax.Array
     ok: jax.Array
     iters: jax.Array
+    badc: jax.Array    # consecutive breakdown counter (SOC retry contract)
     failed: jax.Array  # froze on a bad (non-finite/diverged) step without converging
 
 
@@ -254,6 +260,8 @@ def riccati_ipm_core(
     tau: Optional[float] = None,
     x_lo=None,
     x_hi=None,
+    soc_rc=None,
+    soc_rf=None,
 ):
     """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
 
@@ -273,6 +281,14 @@ def riccati_ipm_core(
             diagonal, which the Riccati factorization absorbs — the O(N)
             analog of the reference's sparse state rows
             (``PMPC.jl/src/lqp_utils.jl:306-393``).
+        soc_rc (Nc,) / soc_rf (M, Nf): per-stage control-norm cone radii
+            ``||u_j|| <= r_j`` (+inf rows inactive; consensus stages one
+            shared cone each, particle-0 convention). The cones' NT scalings
+            are dense (udim x udim) per stage — the free-stage blocks land
+            on ``Rt_j`` (the Riccati factor takes dense Rt) and the
+            consensus-stage blocks on the theta Schur complement, so the
+            O(N) structure is untouched (stage-structured analog of the
+            arrow path's SocSpec handling, `ipm.py:194-238`).
 
     Returns (theta (nct,), uf (M, nfu), stats) — recover trajectories with
     `recover_XU_stage`.
@@ -304,7 +320,59 @@ def riccati_ipm_core(
     mask = jnp.isfinite(lo_flat) & jnp.concatenate([
         maskc > 0, maskc > 0,
         jnp.ones((mtot - 2 * nct,), bool)])
-    n_act = jnp.maximum(jnp.sum(mask).astype(dtype), 1.0)
+
+    # ---- per-stage control-norm SOC cones (||u_j|| <= r_j) ----
+    has_soc = soc_rc is not None
+    from .coneipm import _soc_W, _soc_inv, _soc_prod, _soc_step_len
+
+    if has_soc:
+        p_soc = udim + 1
+        nq = Nc + M * Nf
+        r_flat = jnp.concatenate([soc_rc, soc_rf.reshape(-1)])  # (nq,)
+        rmask = jnp.isfinite(r_flat)
+        rmaskf = rmask.astype(dtype)
+        e_soc = jnp.zeros((nq, p_soc), dtype).at[:, 0].set(1.0)
+
+        def cone_vals(theta, uf):
+            """h - G z per cone: [r_k; u_stage] (nq, p); e on masked cones."""
+            ths = (theta * maskc)[:Nc * udim].reshape(Nc, udim) if Nc \
+                else jnp.zeros((0, udim), dtype)
+            u_all = jnp.concatenate([ths, uf.reshape(M * Nf, udim)], axis=0)
+            vals = jnp.concatenate([r_flat[:, None], u_all], axis=-1)
+            return jnp.where(rmask[:, None], vals, e_soc)
+
+        def cone_scatter(vq):
+            """S' vq[1:] -> (gth (nct,), gf (M, nfu)); masked cones -> 0."""
+            vq = vq * rmaskf[:, None]
+            gth = jnp.zeros((nct,), dtype)
+            if Nc:
+                gth = gth.at[:Nc * udim].set(vq[:Nc, 1:].reshape(-1))
+            gf = vq[Nc:, 1:].reshape(M, nfu) if Nf else \
+                jnp.zeros((M, nfu), dtype)
+            return gth * maskc, gf
+
+        def cone_gdv(dth, duf):
+            """G dz per cone = [0; -du_stage]; masked cones -> 0."""
+            dvals = cone_vals(dth, duf)
+            gd = jnp.concatenate(
+                [jnp.zeros((nq, 1), dtype), -dvals[:, 1:]], axis=-1)
+            return gd * rmaskf[:, None]
+
+        def shift_soc(u):
+            a = jnp.linalg.norm(u[:, 1:], axis=-1) - u[:, 0]
+            shift = jnp.where(a < -1e-3, 0.0,
+                              1e-3 + jnp.maximum(a, 0.0) * 1.001)
+            return u.at[:, 0].add(shift)
+
+        n_act = jnp.sum(mask).astype(dtype) + jnp.sum(rmask).astype(dtype)
+    else:
+        # dummy single-element placeholders, NOT zero-sized (0-sized arrays
+        # in a while_loop carry hang the axon remote compiler)
+        nq, p_soc = 0, 1
+        e_soc = jnp.zeros((1, 1), dtype)
+        rmaskf = jnp.zeros((1,), dtype)
+        n_act = jnp.sum(mask).astype(dtype)
+    n_act = jnp.maximum(n_act, 1.0)
 
     # ---- state-row machinery (all O(N) scans; no condensed sensitivity) ----
     def _stage_U(theta, uf):
@@ -394,14 +462,18 @@ def riccati_ipm_core(
     zeros_c = jnp.zeros((M, N, xdim), dtype)
     zeros_x0 = jnp.zeros((M, xdim), dtype)
 
-    def newton_factor(wc, wf, wx=None):
-        """Factor H + diag(w): free-stage weights onto Rt_j, consensus weights
-        onto the theta Schur complement (applied in `solve`), state-box
-        weights onto the Qt_j diagonal (the stage form of G_x' diag(wx) G_x —
-        the recursion propagates them through the dynamics chain)."""
+    def newton_factor(wc, wf, wx=None, Bq_free=None, Sc_blk=None):
+        """Factor H + diag(w) (+ cone blocks): free-stage box weights onto
+        Rt_j, consensus box weights onto the theta Schur complement (applied
+        in `solve`), state-box weights onto the Qt_j diagonal (the stage
+        form of G_x' diag(wx) G_x — the recursion propagates them through
+        the dynamics chain), free-stage SOC NT blocks (dense udim x udim)
+        onto Rt_j, consensus-stage SOC blocks onto the theta Schur."""
         wf_stage = to_stages(wf)  # (M, N, udim), zero on consensus stages
         eye_u = jnp.eye(udim, dtype=dtype)
         Rt_eff = Rt + wf_stage[:, :, :, None] * eye_u
+        if Bq_free is not None:  # (M, Nf, udim, udim) dense NT blocks
+            Rt_eff = Rt_eff.at[:, Nc:].add(Bq_free)
         Qt_eff = Qt
         if wx is not None:
             ixb = jnp.arange(nxb)
@@ -411,14 +483,15 @@ def riccati_ipm_core(
         def solve(bc, bf):
             th, _, dU = _consensus_solve(
                 fac, B, zeros_c, zeros_x0, zeros_xt, to_stages(bf),
-                zeros_utc, wc, bc, Es, free, maskc, xdim, kappa)
+                zeros_utc, wc, bc, Es, free, maskc, xdim, kappa,
+                S_extra=Sc_blk)
             return th, dU[:, Nc:, :].reshape(M, nfu)
 
         return solve
 
     # -- initialization --------------------------------------------------------
     if warm is not None:
-        th0, uf0, warm_s, warm_lam = warm
+        th0, uf0, warm_s, warm_lam = warm[:4]
         delta = jnp.asarray(1e-2, dtype)
         sv = slack_vals(th0, uf0)
         s0 = jnp.where(mask, jnp.maximum(sv, delta), 1.0)
@@ -434,89 +507,214 @@ def riccati_ipm_core(
         sv = slack_vals(th0, uf0)
         s0 = jnp.where(mask, jnp.maximum(sv, 1.0), 1.0)
         lam0 = jnp.where(mask, 1.0 / s0, 0.0)
-    mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
-    state0 = RIPMState(th0, uf0, s0, lam0, mu0,
+    if has_soc:
+        sq0 = shift_soc(cone_vals(th0, uf0))
+        if warm is not None and len(warm) >= 6:
+            rmask_col = jnp.isfinite(r_flat)[:, None]
+            zq0 = shift_soc(jnp.where(rmask_col, warm[5], e_soc))
+        else:
+            zq0 = e_soc
+        mu0 = (jnp.sum(jnp.where(mask, s0 * lam0, 0.0))
+               + jnp.sum(rmaskf * jnp.sum(sq0 * zq0, axis=-1))) / n_act
+    else:
+        sq0, zq0 = e_soc, e_soc
+        mu0 = jnp.sum(jnp.where(mask, s0 * lam0, 0.0)) / n_act
+    state0 = RIPMState(th0, uf0, s0, lam0, sq0, zq0, mu0,
                        jnp.asarray(False), jnp.asarray(False),
-                       jnp.asarray(0, jnp.int32), jnp.asarray(False))
+                       jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                       jnp.asarray(False))
 
     w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
 
     def body(state):
-        theta, uf, s, lam, mu, done, ok, it_count, failed = state
+        theta, uf, s, lam, sq, zq, mu, done, ok, it_count, badc, failed = \
+            state
         sv = slack_vals(theta, uf)
         r_p = jnp.where(mask, s - sv, 0.0)
         gc, gf = grad_lagrangian(theta, uf, lam)
+        if has_soc:
+            # cone Jacobian G_k' z_k = -S_k' z_k[1:]
+            zc, zf = cone_scatter(zq)
+            gc, gf = gc - zc, gf - zf
         w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
         wx = (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, N, nxb) if has_x else None
+        soc_kw = {}
+        if has_soc:
+            r_pq = (sq - cone_vals(theta, uf)) * rmaskf[:, None]
+            Wq, Wqinv, Wq2inv, lamq = jax.vmap(_soc_W)(sq, zq)
+            Bq = Wq2inv[:, 1:, 1:] * rmaskf[:, None, None]
+            # breakdown-retry regularization (ipm.py contract): a bad step
+            # keeps the iterate and re-solves with boosted jitter instead of
+            # freezing — f32 cone scalings blow up ~1/mu near the boundary
+            boost = badc.astype(dtype) ** 2 \
+                * jnp.asarray(1e-5, dtype) * (1.0 + mu)
+            eye_u = jnp.eye(udim, dtype=dtype)
+            Bq_free = (Bq[Nc:].reshape(M, Nf, udim, udim) + boost * eye_u) \
+                if Nf else jnp.zeros((M, 0, udim, udim), dtype)
+            Sc_blk = boost * jnp.eye(nct, dtype=dtype)
+            if Nc:
+                blk = jnp.einsum("ab,aij->aibj", jnp.eye(Nc, dtype=dtype),
+                                 Bq[:Nc]).reshape(Nc * udim, Nc * udim)
+                Sc_blk = Sc_blk.at[:Nc * udim, :Nc * udim].add(blk)
+            soc_kw = dict(Bq_free=Bq_free, Sc_blk=Sc_blk)
         solve_K = newton_factor(
             w[:nct] + w[o_chi:o_flo],
-            (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nfu), wx)
+            (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nfu), wx, **soc_kw)
 
-        def newton_rhs(r_c):
+        def winv_lam_dc(Wi, lam_, dc):
+            return Wi @ _soc_prod(_soc_inv(lam_), dc)
+
+        def newton_rhs(r_c, dq_c):
             v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
             dc, df = gT_dot(v)
-            return (-(gc + dc) * maskc, -(gf + df)), v
+            bc, bf = -(gc + dc) * maskc, -(gf + df)
+            vq = None
+            if has_soc:
+                vq = jnp.einsum("cpr,cr->cp", Wq2inv, r_pq) \
+                    - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)
+                vqc, vqf = cone_scatter(vq)  # rhs -= G' vq = +S' vq[1:]
+                bc, bf = bc + vqc, bf + vqf
+            return (bc, bf), v, vq
 
-        def recover_steps(dth, duf, v):
+        def recover_steps(dth, duf, v, vq):
             gdz = g_dot_z(dth, duf)
             ds = jnp.where(mask, -r_p - gdz, 0.0)
             dlam = jnp.where(mask, w * gdz + v, 0.0)
-            return ds, dlam
+            dsq = dzq = None
+            if has_soc:
+                gdq = cone_gdv(dth, duf)
+                dsq = (-r_pq - gdq) * rmaskf[:, None]
+                dzq = (jnp.einsum("cpr,cr->cp", Wq2inv, gdq) + vq) \
+                    * rmaskf[:, None]
+            return ds, dlam, dsq, dzq
 
-        def step_len(s_, ds, lam_, dlam):
+        def step_len(s_, ds, lam_, dlam, sq_, dsq, zq_, dzq):
             rp_ = jnp.where(mask & (ds < 0), -s_ / jnp.where(ds < 0, ds, -1.0),
                             jnp.inf)
             rd_ = jnp.where(mask & (dlam < 0),
                             -lam_ / jnp.where(dlam < 0, dlam, -1.0), jnp.inf)
-            return (jnp.minimum(1.0, tau * jnp.min(rp_)),
-                    jnp.minimum(1.0, tau * jnp.min(rd_)))
+            ap = jnp.minimum(1.0, tau * jnp.min(rp_))
+            ad = jnp.minimum(1.0, tau * jnp.min(rd_))
+            if has_soc:
+                aq_p = jnp.where(rmaskf > 0,
+                                 jax.vmap(_soc_step_len)(sq_, dsq), jnp.inf)
+                aq_d = jnp.where(rmaskf > 0,
+                                 jax.vmap(_soc_step_len)(zq_, dzq), jnp.inf)
+                ap = jnp.minimum(ap, tau * jnp.min(aq_p))
+                ad = jnp.minimum(ad, tau * jnp.min(aq_d))
+                # NT scaling assumes s and z move together: separate steps
+                # let a cone crash into the boundary and stall (ipm.py:455)
+                ap = ad = jnp.minimum(ap, ad)
+            return ap, ad
 
-        def mu_of(s_, lam_):
-            return jnp.sum(jnp.where(mask, s_ * lam_, 0.0)) / n_act
+        def mu_of(s_, lam_, sq_, zq_):
+            tot = jnp.sum(jnp.where(mask, s_ * lam_, 0.0))
+            if has_soc:
+                tot = tot + jnp.sum(rmaskf * jnp.sum(sq_ * zq_, axis=-1))
+            return tot / n_act
 
         # predictor (affine)
-        (bc, bf), v_aff = newton_rhs(jnp.where(mask, s * lam, 0.0))
+        dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
+        (bc, bf), v_aff, vq_aff = newton_rhs(
+            jnp.where(mask, s * lam, 0.0), dq_aff)
         dth_a, duf_a = solve_K(bc, bf)
-        ds_a, dlam_a = recover_steps(dth_a, duf_a, v_aff)
-        ap_a, ad_a = step_len(s, ds_a, lam, dlam_a)
-        mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a)
+        ds_a, dlam_a, dsq_a, dzq_a = recover_steps(dth_a, duf_a, v_aff,
+                                                   vq_aff)
+        ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
+        mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a,
+                       sq + ap_a * dsq_a if has_soc else sq,
+                       zq + ad_a * dzq_a if has_soc else zq)
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
         sig_mu = sigma * mu
         # corrector (same factorization)
         r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
-        (bc, bf), v = newton_rhs(r_c)
+        dq_c = None
+        if has_soc:
+            so_q = jax.vmap(_soc_prod)(
+                jax.vmap(lambda Wi, x_: Wi @ x_)(Wqinv, dsq_a),
+                jax.vmap(lambda Wm, x_: Wm @ x_)(Wq, dzq_a))
+            lam2 = jax.vmap(_soc_prod)(lamq, lamq)
+            dq_c = lam2 + so_q - sig_mu * e_soc
+        (bc, bf), v, vq = newton_rhs(r_c, dq_c)
         dth, duf = solve_K(bc, bf)
-        ds, dlam = recover_steps(dth, duf, v)
-        ap, ad = step_len(s, ds, lam, dlam)
+        ds, dlam, dsq, dzq = recover_steps(dth, duf, v, vq)
+        ap, ad = step_len(s, ds, lam, dlam, sq, dsq, zq, dzq)
 
         th_n = theta + ap * dth
         uf_n = uf + ap * duf
         s_n = jnp.where(mask, s + ap * ds, 1.0)
         lam_n = jnp.where(mask, lam + ad * dlam, 0.0)
-        mu_n = mu_of(s_n, lam_n)
+        if has_soc:
+            sq_n = jnp.where(rmaskf[:, None] > 0, sq + ap * dsq, e_soc)
+            zq_n = jnp.where(rmaskf[:, None] > 0, zq + ad * dzq, e_soc)
+        else:
+            sq_n, zq_n = sq, zq
+        mu_n = mu_of(s_n, lam_n, sq_n, zq_n)
 
         rp_inf = jnp.max(jnp.abs(r_p))
+        if has_soc:
+            rp_inf = jnp.maximum(rp_inf, jnp.max(jnp.abs(r_pq)))
         # full consensus (Nc=N) leaves the free block zero-sized
         gd_inf = jnp.maximum(
             jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, gc.dtype),
             jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, gf.dtype))
         step_bad = ~(jnp.isfinite(mu_n) & jnp.isfinite(jnp.sum(th_n))
                      & jnp.isfinite(jnp.sum(uf_n)))
-        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (gd_inf < 1e3 * tol)
+        if has_soc:
+            # a missed boundary crossing leaves a cone point OUTSIDE: all
+            # later algebra is meaningless — treat the escape as a breakdown
+            _esc = lambda u_: jnp.max(
+                rmaskf * (jnp.linalg.norm(u_[:, 1:], axis=-1) - u_[:, 0]))
+            step_bad = step_bad | (_esc(sq_n) > 0) | (_esc(zq_n) > 0)
+        # with SOC cones the achievable dual accuracy is cancellation-limited
+        # by the NT scaling near the boundary (~sqrt(tol); ipm.py:564-567)
+        gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
+        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (gd_inf < gd_tol)
         now_bad = step_bad | (mu_n > 1e12)
 
+        if has_soc:
+            # convergence additionally requires the NEW primal point to be
+            # cone-feasible (the ultimate contract of the solve)
+            cvn = cone_vals(th_n, uf_n)
+            viol_n = jnp.max(
+                rmaskf * (jnp.linalg.norm(cvn[:, 1:], axis=-1) - cvn[:, 0]))
+            now_done = now_done & (viol_n < jnp.sqrt(tol))
+            # retry contract: keep the iterate on a bad step, bump badc (the
+            # next factorization gets boosted regularization) and SHIFT the
+            # offending cone points back into the interior (a crashed cone's
+            # NT scaling overflows — regularization alone cannot fix the
+            # iterate, ipm.py:595-606); only repeated breakdowns give up
+            frozen = done | now_bad
+            sel = lambda a_, b_: jnp.where(frozen, b_, a_)
+            badc_n = jnp.where(done, badc,
+                               jnp.where(now_bad, badc + 1, 0))
+            give_up = badc_n >= 4
+            retry = now_bad & ~done
+            sq_k = sel(sq_n, sq)
+            zq_k = sel(zq_n, zq)
+            sq_k = jnp.where(retry, shift_soc(sq_k), sq_k)
+            zq_k = jnp.where(retry, shift_soc(zq_k), zq_k)
+            return RIPMState(
+                sel(th_n, theta), sel(uf_n, uf), sel(s_n, s), sel(lam_n, lam),
+                sq_k, zq_k,
+                sel(mu_n, mu), done | now_done | give_up, ok | now_done,
+                it_count + 1, badc_n,
+                failed | (give_up & ~done & ~now_done))
         frozen = done | now_bad
         sel = lambda a_, b_: jnp.where(frozen, b_, a_)
         return RIPMState(
             sel(th_n, theta), sel(uf_n, uf), sel(s_n, s), sel(lam_n, lam),
+            sel(sq_n, sq), sel(zq_n, zq),
             sel(mu_n, mu), done | now_done | now_bad, ok | now_done,
-            it_count + 1, failed | (now_bad & ~done & ~now_done))
+            it_count + 1, badc,
+            failed | (now_bad & ~done & ~now_done))
 
     state = lax.while_loop(
         lambda st: (~st.done) & (st.iters < iters), lambda st: body(st), state0)
 
     stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,
-                 failed=state.failed & ~state.ok, s=state.s, lam=state.lam)
+                 failed=state.failed & ~state.ok, s=state.s, lam=state.lam,
+                 sq=state.sq, zq=state.zq)
     return state.theta, state.uf, stats
 
 
@@ -547,7 +745,7 @@ def recover_XU_stage(theta, uf, x0, c, A, B, Nc: int, maskc=None):
 def riccati_ipm_solve_np(
     base_args, reg_args, u_l, u_u, Nc: int,
     settings: Optional[dict] = None,
-    x_l=None, x_u=None,
+    x_l=None, x_u=None, u_soc_r=None,
 ):
     """numpy frontend of the stage-structured box IPM (host-path analog of
     `ipm.ipm_solve_np`): threads a warm start through
@@ -564,14 +762,23 @@ def riccati_ipm_solve_np(
     has_x = x_l is not None or x_u is not None
     mtot = 2 * nct + 2 * M * nfu + (2 * M * N * xdim if has_x else 0)
 
+    has_soc = u_soc_r is not None
+    nq = (Nc + M * (N - Nc)) if has_soc else 0
+
     warm = None
     prev_state = settings.get("solver_state") or {}
     cand = prev_state.get("riccati_warm") if isinstance(prev_state, dict) else None
-    if cand is not None:
-        th_w, uf_w, s_w, lam_w = cand
-        if (np.shape(th_w) == (nct,) and np.shape(uf_w) == (M, nfu)
-                and np.shape(s_w) == (mtot,) and np.shape(lam_w) == (mtot,)):
-            warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
+    if cand is not None and len(cand) >= 4:
+        th_w, uf_w, s_w, lam_w = cand[:4]
+        shapes_ok = (np.shape(th_w) == (nct,) and np.shape(uf_w) == (M, nfu)
+                     and np.shape(s_w) == (mtot,)
+                     and np.shape(lam_w) == (mtot,))
+        if has_soc:
+            shapes_ok = shapes_ok and len(cand) >= 6 \
+                and np.shape(cand[4]) == (nq, udim + 1)
+        if shapes_ok:
+            warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype))
+                         for z in cand)
 
     iters = int(settings.get("ipm_iters", 30))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
@@ -603,6 +810,9 @@ def riccati_ipm_solve_np(
         xu = x_u if x_u is not None else np.full((M, N, xdim), np.inf)
         xbox_kw = dict(x_l=jnp.asarray(np.asarray(xl, dtype=dtype)),
                        x_u=jnp.asarray(np.asarray(xu, dtype=dtype)))
+    soc_kw = {}
+    if has_soc:
+        soc_kw = dict(u_soc_r=jnp.asarray(np.asarray(u_soc_r, dtype=dtype)))
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
@@ -611,15 +821,17 @@ def riccati_ipm_solve_np(
         Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
-             else None), **slew_kw, **xbox_kw)
+             else None), **slew_kw, **xbox_kw, **soc_kw)
     # one device->host transfer (see ipm_solve_np): per-array pulls are
     # blocking round trips through a remote-TPU tunnel
-    (X, U, th_h, uf_h, s_h, lam_h, mu_h, it_h, conv_h, fail_h) = \
+    (X, U, th_h, uf_h, s_h, lam_h, sq_h, zq_h, mu_h, it_h, conv_h, fail_h) = \
         jax.device_get([X, U, stats["theta"], stats["uf"], stats["s"],
-                        stats["lam"], stats["mu"], stats["iters"],
-                        stats["converged"], stats["failed"]])
+                        stats["lam"], stats["sq"], stats["zq"], stats["mu"],
+                        stats["iters"], stats["converged"], stats["failed"]])
+    warm_out = (th_h, uf_h, s_h, lam_h) if not has_soc else \
+        (th_h, uf_h, s_h, lam_h, sq_h, zq_h)
     data = dict(
-        solver_state=dict(riccati_warm=(th_h, uf_h, s_h, lam_h)),
+        solver_state=dict(riccati_warm=warm_out),
         ipm_mu=float(mu_h),
         ipm_iters=int(it_h),
         ipm_converged=bool(conv_h),
@@ -631,7 +843,7 @@ def riccati_ipm_solve_np(
 def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
                           reg_x, reg_u, u_l, u_u, Nc: int,
                           slew_reg=None, slew_reg0=None, slew_um1=None,
-                          x_l=None, x_u=None, **kw):
+                          x_l=None, x_u=None, u_soc_r=None, **kw):
     """One box-constrained SCP subproblem via the stage-structured IPM.
 
     Batched over the leading particle axis; bounds (M, N, udim) with the
@@ -663,10 +875,14 @@ def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
     else:
         lo_c = jnp.full((nct,), -jnp.inf, dtype)
         hi_c = jnp.full((nct,), jnp.inf, dtype)
+    soc_kw = {}
+    if u_soc_r is not None:
+        r = jnp.broadcast_to(jnp.asarray(u_soc_r, dtype), (M, N))
+        soc_kw = dict(soc_rc=r[0, :Nc], soc_rf=r[:, Nc:])
     theta, uf, stats = riccati_ipm_core(
         x0s, c, A, B, Qt, xt, Rt, ut,
         lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc,
-        x_lo=x_l, x_hi=x_u, **kw)
+        x_lo=x_l, x_hi=x_u, **soc_kw, **kw)
     _, _, _, maskc = _selectors(N, Nc, udim, dtype)
     X, U = recover_XU_stage(theta, uf, x0s, c, A, B, Nc, maskc)
     return X[..., :xdim], U, dict(stats, theta=theta, uf=uf)

@@ -72,7 +72,7 @@ def test_fused_riccati_scp_matches_condensed():
 def test_riccati_gates_unsupported():
     with pytest.raises(NotImplementedError):
         build_scp_solver(unicycle_step, N=8, xdim=4, udim=2, M=2, Nc=2,
-                         method="riccati", has_u_soc=True)
+                         method="priccati", has_u_soc=True)
     with pytest.raises(NotImplementedError):
         build_scp_solver(unicycle_step, N=8, xdim=4, udim=2, M=2, Nc=2,
                          method="priccati", has_x_bounds=True)
@@ -364,6 +364,109 @@ def test_long_horizon_default_settings_solves():
     assert np.abs(U).max() <= 1.0 + 1e-6
 
 
+@pytest.mark.parametrize("M,N,Nc", [(3, 10, 3), (2, 9, 0)])
+def test_riccati_ipm_u_soc_matches_condensed(M, N, Nc):
+    """Per-stage control-norm cones ||u_j|| <= r on the O(N) path: the dense
+    NT blocks land on Rt_j (free stages) / the theta Schur complement
+    (consensus stages) and must reproduce the condensed arrow IPM's solution
+    (same Mehrotra algebra, different Newton solver)."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(61 + M + N)
+    xdim, udim = 4, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    # the condensed structured-SOC path plateaus at mu ~6e-6 on these
+    # random instances (pre-existing; boundary-collision freezes) — -5
+    # converges crisply on both sides and is plenty for equivalence
+    ipm_settings = dict(ipm_tol_exp=-5, ipm_iters=150)
+    # binding-but-feasible radius from the unconstrained solve (tight radii
+    # send the condensed SOC path into a ~100-iteration crawl on some
+    # instances; 0.92 binds without the crawl)
+    X0, U0, d0 = affine_solve_np(*args, **common, settings=ipm_settings)
+    u_top = float(np.linalg.norm(U0, axis=-1).max())
+    for frac in (0.92, 0.85, 0.95):  # condensed baseline is radius-sensitive
+        r = frac * u_top
+        soc = dict(u_soc_r=np.full((M, N), r))
+        Xc, Uc, dc = affine_solve_np(*args, **common,
+                                     settings=dict(ipm_settings, **soc))
+        if dc["ipm_converged"]:
+            break
+    assert dc["ipm_converged"]
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common,
+        settings=dict(ipm_settings, method="riccati", **soc))
+    assert dr["ipm_converged"] and not dr["ipm_failed"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-4)
+    np.testing.assert_allclose(Xr, Xc, atol=1e-4)
+    norms = np.linalg.norm(Ur, axis=-1)
+    assert norms.max() <= r + 1e-4
+    assert (np.abs(norms - r) < 1e-2).any(), "cone must bind"
+
+
+def test_riccati_ipm_u_soc_with_u_box_and_state_box():
+    """All three constraint families together on the stage-structured path
+    (u-box + state box + per-stage cones) vs the condensed oracle."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(71)
+    M, N, xdim, udim, Nc = 2, 8, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    ipm_settings = dict(ipm_tol_exp=-5, ipm_iters=80)
+    X0, U0, d0 = affine_solve_np(*args, **common, settings=ipm_settings)
+    r = 0.9 * float(np.linalg.norm(U0, axis=-1).max())
+    hi = 0.95 * float(np.abs(X0).max())
+    common.update(
+        u_l=np.full((M, N, udim), -0.95 * r), u_u=np.full((M, N, udim),
+                                                          0.95 * r),
+        x_l=np.full((M, N, xdim), -hi), x_u=np.full((M, N, xdim), hi))
+    soc = dict(u_soc_r=np.full((M, N), r))
+    Xc, Uc, dc = affine_solve_np(*args, **common,
+                                 settings=dict(ipm_settings, **soc))
+    assert dc["ipm_converged"]
+    Xr, Ur, dr = affine_solve_np(
+        *args, **common,
+        settings=dict(ipm_settings, method="riccati", **soc))
+    assert dr["ipm_converged"] and not dr["ipm_failed"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-4)
+    np.testing.assert_allclose(Xr, Xc, atol=1e-4)
+
+
+def test_fused_riccati_u_soc_matches_condensed():
+    """Fused device loop: method='riccati' + has_u_soc tracks the condensed
+    method on the same data (warm-started cone duals threaded through the
+    SCP carry)."""
+    N, xdim, udim, M, Nc = 10, 4, 2, 3, 3
+    rng = np.random.default_rng(81)
+    d = make_scp_data(
+        np.ones((M, xdim)) + 0.05 * rng.normal(size=(M, xdim)),
+        np.tile(np.eye(xdim), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim), (M, N, 1, 1)),
+        reg_x=1.0, reg_u=0.1,
+        u_soc_r=0.5 * np.ones((M, N)))
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=Nc, max_it=8, res_tol=1e-7,
+              has_u_soc=True, ipm_iters=50, ipm_tol_exp=-6,
+              collect_stats=True, adaptive_tol=False)
+    Xc, Uc, ic = build_scp_solver(unicycle_step, **kw)(d)
+    Xr, Ur, ir = build_scp_solver(unicycle_step, method="riccati", **kw)(d)
+    np.testing.assert_allclose(np.asarray(Ur), np.asarray(Uc), atol=1e-7)
+    norms = np.linalg.norm(np.asarray(Ur), axis=-1)
+    assert norms.max() <= 0.5 + 1e-7
+
+
 def test_long_horizon_state_box_default_settings():
     """N past the condensation overflow with STATE boxes + slew at default
     settings: the auto riccati route (now carrying state rows) must return a
@@ -385,6 +488,26 @@ def test_long_horizon_state_box_default_settings():
     assert X is not None and np.isfinite(U).all()
     assert np.abs(U).max() <= 1.0 + 1e-5
     assert np.abs(X).max() <= 6.0 + 1e-3
+    assert d["hist"][-1]["resid"] < d["hist"][0]["resid"]
+
+
+def test_long_horizon_u_soc_default_settings():
+    """Per-stage control-norm cones past the condensation overflow: the
+    auto riccati route (now carrying SOC cones) returns a feasible,
+    progressing solution — this class had no f32 long-horizon route before
+    (the dispatcher gated u_soc_r off riccati)."""
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 250, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    X, U, d = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim), max_it=10, res_tol=1e-3, verbose=False,
+        solver_settings=dict(u_soc_r=np.full((1, N), 0.8)))
+    assert X is not None and np.isfinite(U).all()
+    assert np.linalg.norm(U, axis=-1).max() <= 0.8 + 1e-4
     assert d["hist"][-1]["resid"] < d["hist"][0]["resid"]
 
 
