@@ -109,12 +109,40 @@ def affine_solve_np(
     k = settings.get("k", None)
     has_cvar = k is not None and int(k) >= 0 and int(k) != M
     Hf = settings.get("Hf", None)
+
+    # LINEAR-only extras (no SOC/exp rows, no aux variables, no cost terms)
+    # combined with nothing conic stay STRUCTURED: the rows border the arrow
+    # Newton matrix as a rank-l SMW update (ipm.ExtraRows) instead of
+    # densifying the whole program through the composed cone path
+    ex_lin = None
+    if extra_cstrs and not has_cvar and Hf is None and not smooth_cstr \
+            and diff_cost_fn is None \
+            and bool(settings.get("extras_structured", True)) \
+            and str(settings.get("solver", "")).upper() not in (
+                "BFGS", "LBFGS", "CVX", "SQP"):
+        from .extras import _canon_extras
+
+        udim_ = fu.shape[-1]
+        xdim_ = f.shape[-1]
+        Nc_ = Nc if Nc >= 0 else N
+        n_full = Nc_ * udim_ + M * (N - Nc_) * udim_ + M * N * xdim_
+        try:
+            sig_ex, arr_ex = _canon_extras(extra_cstrs, n_full)
+        except (ValueError, AssertionError):
+            sig_ex, arr_ex = None, None
+        if sig_ex is not None and all(
+                q == () and e == 0 and na == 0 for (_, q, e, na) in sig_ex) \
+                and all(np.all(np.asarray(a[3]) == 0.0) for a in arr_ex):
+            ex_lin = (np.concatenate([a[0] for a in arr_ex], axis=0),
+                      np.concatenate([a[2] for a in arr_ex]))
+
     # the composed dense cone program handles every combination the
     # reference's lcone_solve builds in one conic program (main.jl:204-317):
     # k-worst epigraph, extras, Hf, smoothing of box + extras' linear rows,
     # and per-stage control-norm cones (u_soc_r alone stays on the fast
     # structured IPM; composed with smoothing/extras it joins this program)
-    needs_compose = (has_cvar or bool(extra_cstrs) or Hf is not None
+    needs_compose = (has_cvar or (bool(extra_cstrs) and ex_lin is None)
+                     or Hf is not None
                      or (u_soc_r is not None
                          and smooth_cstr in ("logbarrier", "squareplus")))
     if needs_compose:
@@ -407,4 +435,6 @@ def affine_solve_np(
         return ipm_solve_np(
             base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc, weights=weights,
             settings=settings,
+            ex_G=ex_lin[0] if ex_lin is not None else None,
+            ex_h=ex_lin[1] if ex_lin is not None else None,
         )

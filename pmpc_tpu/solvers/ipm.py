@@ -36,6 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from ..ops.linalg import spd_apply, spd_factor
 from ..utils import with_matmul_precision
 from .coneipm import _soc_W, _soc_inv, _soc_prod, _soc_step_len
 from .reduced import (
@@ -70,6 +71,21 @@ class SocSpec(NamedTuple):
 
     r_c: jax.Array  # (Nc,)  consensus-stage radii
     r_f: jax.Array  # (M, Nf) free-stage radii
+
+
+class ExtraRows(NamedTuple):
+    """Dense linear inequality rows ``g'w <= h`` over the consensus variable
+    w = [uc; uf_1..M] (state contributions already eliminated through the
+    condensed map at the caller). The rows border the arrow Newton matrix as
+    a rank-l update, solved by Sherman-Morrison-Woodbury against the arrow
+    factorization — l+1 arrow solves + one l x l factor per iteration
+    instead of densifying the whole program (the structured route for the
+    reference's LINEAR `extra_cstrs`, main.jl:292-316; SOC/exp extras and
+    aux-variable rows keep the composed cone path)."""
+
+    Gc: jax.Array  # (l, nc)
+    Gf: jax.Array  # (l, M, nf)
+    h: jax.Array   # (l,)  (+inf rows inactive)
 
 
 class IPMState(NamedTuple):
@@ -109,7 +125,8 @@ def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: b
     return Kcc, Kcf, Kff
 
 
-@partial(jax.jit, static_argnames=("has_u", "has_x", "has_soc", "iters", "tol_exp",
+@partial(jax.jit, static_argnames=("has_u", "has_x", "has_soc", "has_ex",
+                                   "iters", "tol_exp",
                                    "kappa", "mu_target", "tau", "diagnostics",
                                    "gondzio"))
 @with_matmul_precision("high")
@@ -129,6 +146,8 @@ def ipm_core(
     has_soc: bool = False,
     diagnostics: bool = False,
     gondzio: int = 0,
+    ex: Optional[ExtraRows] = None,
+    has_ex: bool = False,
 ):
     """Run the predictor-corrector IPM. Returns (uc, uf, stats dict of arrays).
 
@@ -168,10 +187,12 @@ def ipm_core(
     # active (static has_x): for box-only problems they would be ~70% of the
     # vector width — pure dead weight in every per-iteration elementwise op
     mnxl = mnx if has_x else 0
-    o_chi, o_flo, o_fhi, o_xlo, o_xhi, mtot = (
+    l_ex = ex.h.shape[0] if has_ex else 0
+    o_chi, o_flo, o_fhi, o_xlo, o_xhi, o_ex = (
         nc, 2 * nc, 2 * nc + mnf, 2 * nc + 2 * mnf, 2 * nc + 2 * mnf + mnxl,
         2 * nc + 2 * mnf + 2 * mnxl,
     )
+    mtot = o_ex + l_ex
 
     if has_u:
         lo_parts = [bounds.lo_c, bounds.hi_c,
@@ -187,6 +208,8 @@ def ipm_core(
                     jnp.full_like(bounds.hi_f.reshape(-1), -jnp.inf)]
     if has_x:
         lo_parts += [bounds.lo_x.reshape(-1), bounds.hi_x.reshape(-1)]
+    if has_ex:
+        lo_parts += [ex.h]
     lo_flat = jnp.concatenate(lo_parts)
     mask = jnp.isfinite(lo_flat)
 
@@ -249,6 +272,9 @@ def ipm_core(
                 [jnp.broadcast_to(uc, (M, nc)), uf], axis=-1)) + cqp.g
             vals += [(x - bounds.lo_x).reshape(-1),
                      (bounds.hi_x - x).reshape(-1)]
+        if has_ex:
+            vals += [ex.h - ex.Gc @ uc
+                     - jnp.einsum("lmn,mn->l", ex.Gf, uf)]
         return jnp.concatenate(vals)
 
     def g_dot_z(duc, duf):
@@ -259,6 +285,8 @@ def ipm_core(
             dx = jnp.einsum("mij,mj->mi", cqp.Ft, jnp.concatenate(
                 [jnp.broadcast_to(duc, (M, nc)), duf], axis=-1)).reshape(-1)
             parts += [-dx, dx]
+        if has_ex:
+            parts += [ex.Gc @ duc + jnp.einsum("lmn,mn->l", ex.Gf, duf)]
         return jnp.concatenate(parts)
 
     def gT_dot(v):
@@ -266,9 +294,13 @@ def ipm_core(
         bc = v[o_chi:o_flo] - v[:nc]
         bf = (v[o_fhi:o_xlo] - v[o_flo:o_fhi]).reshape(M, nf)
         if has_x:
-            dv = (v[o_xhi:] - v[o_xlo:o_xhi]).reshape(M, NX)
+            dv = (v[o_xhi:o_ex] - v[o_xlo:o_xhi]).reshape(M, NX)
             bc = bc + jnp.einsum("mji,mj->i", Ftc, dv)
             bf = bf + jnp.einsum("mji,mj->mi", Ftf, dv)
+        if has_ex:
+            ve = v[o_ex:]
+            bc = bc + ve @ ex.Gc
+            bf = bf + jnp.einsum("l,lmn->mn", ve, ex.Gf)
         return bc, bf
 
     # -- initialization ----------------------------------------------------------
@@ -355,7 +387,8 @@ def ipm_core(
         else:
             Kcc, Kcf, Kff = box_weighted_K(
                 cqp, wc_d, wf_d,
-                ((w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, NX) if has_x else None),
+                ((w[o_xlo:o_xhi] + w[o_xhi:o_ex]).reshape(M, NX)
+                 if has_x else None),
                 Ftc, Ftf, has_u=has_u, has_x=has_x,
             )
         if has_soc:
@@ -386,7 +419,7 @@ def ipm_core(
         if Kcc is not None:
             F = arrow_factor(Kcc, Kcf, Kff, jitter=kappa)
 
-        def solve_K(bc_, bf_):
+        def base_solve(bc_, bf_):
             """Arrow solve; with cones, one round of iterative refinement —
             the recovered cone dual multiplies the solve error by W^{-2}
             (~1/mu near convergence), so the raw O(kappa eps) solve error
@@ -400,12 +433,54 @@ def ipm_core(
                 duc_, duf_ = duc_ + ddc, duf_ + ddf
             return duc_, duf_
 
+        if has_ex:
+            # augmented bordered solve: the l dense extras rows stay explicit
+            # — their dual step comes from the l x l Schur system
+            #   (G A^-1 G' + W^-1) dlam = G A^-1 b - c2
+            # and the primal step from one more arrow solve of (b - G'dlam).
+            # This is exact at ANY border weight (the SMW elimination form
+            # cancels catastrophically at w ~ 1/mu); cost: l+2 arrow solves
+            # per direction + one l x l factor per iteration.
+            w_ex = w[o_ex:]
+            mask_ex = mask[o_ex:]
+            Zc, Zf = jax.vmap(base_solve)(ex.Gc, ex.Gf)  # (l, nc), (l, M, nf)
+            S = ex.Gc @ Zc.T + jnp.einsum("kmn,lmn->kl", ex.Gf, Zf)
+            S = S + jnp.diag(jnp.where(mask_ex, 1.0 / jnp.maximum(w_ex, 1e-30),
+                                       jnp.asarray(1e30, dtype)))
+            LS_ex = spd_factor(S, jitter=1e-12)
+
+            def solve_K(bc_, bf_, c2_):
+                yc, yf = base_solve(bc_, bf_)
+                rl = ex.Gc @ yc + jnp.einsum("lmn,mn->l", ex.Gf, yf)
+                dle = jnp.where(mask_ex, spd_apply(LS_ex, rl - c2_), 0.0)
+                duc_, duf_ = base_solve(
+                    bc_ - dle @ ex.Gc,
+                    bf_ - jnp.einsum("l,lmn->mn", dle, ex.Gf))
+                return duc_, duf_, dle
+        else:
+            def solve_K(bc_, bf_, c2_):
+                duc_, duf_ = base_solve(bc_, bf_)
+                return duc_, duf_, None
+
         def winv_lam_dc(Wi, lam_, dc):
             return Wi @ _soc_prod(_soc_inv(lam_), dc)
 
         def newton_rhs(r_c, dq_c):
             v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
-            dc, df = gT_dot(v)
+            if has_ex:
+                # extras rows stay EXPLICIT in the Newton system (augmented
+                # form): folding them through v like the diagonal families
+                # multiplies the solve error by w_ex ~ 1/mu and the dual
+                # residual diverges (measured: gd_inf 1e13). Their dual step
+                # comes from the l x l Schur solve instead; c2 is that
+                # system's rhs (-r_p + r_c/lam per active row).
+                v_fold = v.at[o_ex:].set(0.0)
+                c2 = jnp.where(mask[o_ex:],
+                               -r_p[o_ex:] + r_c[o_ex:]
+                               / jnp.maximum(lam[o_ex:], 1e-30), 0.0)
+            else:
+                v_fold, c2 = v, None
+            dc, df = gT_dot(v_fold)
             bc, bf = -(gc + dc), -(gf + df)
             vq = None
             if has_soc:
@@ -414,12 +489,17 @@ def ipm_core(
                 # rhs -= G' vq = +S' vq[1:]
                 vqc, vqf = cone_scatter(vq)
                 bc, bf = bc + vqc, bf + vqf
-            return (bc, bf), v, vq
+            return (bc, bf), v, vq, c2
 
-        def recover_steps(duc, duf, v, vq):
+        def recover_steps(duc, duf, v, vq, dlam_ex=None):
             gdz = g_dot_z(duc, duf)
             ds = jnp.where(mask, -r_p - gdz, 0.0)
             dlam = jnp.where(mask, w * gdz + v, 0.0)
+            if has_ex:
+                # the Schur-computed extras dual step is the numerically
+                # stable one (the w*gdz + v form cancels at w ~ 1/mu)
+                dlam = dlam.at[o_ex:].set(
+                    jnp.where(mask[o_ex:], dlam_ex, 0.0))
             dsq = dzq = None
             if has_soc:
                 gdq = cone_gdv(duc, duf)
@@ -454,9 +534,10 @@ def ipm_core(
             # predictor (affine) step
             r_c_aff = jnp.where(mask, s * lam, 0.0)
             dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
-            (bc, bf), v_aff, vq_aff = newton_rhs(r_c_aff, dq_aff)
-            duc_a, duf_a = solve_K(bc, bf)
-            ds_a, dlam_a, dsq_a, dzq_a = recover_steps(duc_a, duf_a, v_aff, vq_aff)
+            (bc, bf), v_aff, vq_aff, c2_aff = newton_rhs(r_c_aff, dq_aff)
+            duc_a, duf_a, dle_a = solve_K(bc, bf, c2_aff)
+            ds_a, dlam_a, dsq_a, dzq_a = recover_steps(
+                duc_a, duf_a, v_aff, vq_aff, dle_a)
             ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
             if has_soc:
                 # NT scaling assumes s and z move together: separate
@@ -482,9 +563,9 @@ def ipm_core(
             r_c = jnp.where(mask, s * lam - mu_target, 0.0)
             dq_c = (jax.vmap(_soc_prod)(lamq, lamq) - mu_target * e_soc) \
                 if has_soc else None
-        (bc, bf), v, vq = newton_rhs(r_c, dq_c)
-        duc, duf = solve_K(bc, bf)
-        ds, dlam, dsq, dzq = recover_steps(duc, duf, v, vq)
+        (bc, bf), v, vq, c2_m = newton_rhs(r_c, dq_c)
+        duc, duf, dle_m = solve_K(bc, bf, c2_m)
+        ds, dlam, dsq, dzq = recover_steps(duc, duf, v, vq, dle_m)
         ap, ad = step_len(s, ds, lam, dlam, sq, dsq, zq, dzq)
         if has_soc:
             ap = ad = jnp.minimum(ap, ad)  # single combined step (see above)
@@ -507,9 +588,9 @@ def ipm_core(
                                  sig_mu)
                 target = jnp.clip(prod, 0.1 * sig_mu, 10.0 * sig_mu)
                 r_c2 = jnp.where(mask, r_c + (prod - target), 0.0)
-                (bc2, bf2), v2, _ = newton_rhs(r_c2, None)
-                duc2, duf2 = solve_K(bc2, bf2)
-                ds2, dlam2, _, _ = recover_steps(duc2, duf2, v2, None)
+                (bc2, bf2), v2, _, c2_g = newton_rhs(r_c2, None)
+                duc2, duf2, dle_g = solve_K(bc2, bf2, c2_g)
+                ds2, dlam2, _, _ = recover_steps(duc2, duf2, v2, None, dle_g)
                 ap2, ad2 = step_len(s, ds2, lam, dlam2, sq, None, zq, None)
                 acc = (ap2 + ad2) > (ap + ad) + 0.01
                 pk = lambda x_, y_: jnp.where(acc, y_, x_)
@@ -563,7 +644,10 @@ def ipm_core(
         # cancellation-limited by the NT scaling near the boundary (~sqrt(tol)
         # in practice); demanding 1e3*tol would keep iterating past the best
         # point and drift
-        gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
+        # SOC cones: dual accuracy is cancellation-limited by the NT scaling
+        # near the boundary. Extras borders: limited by the bordered-solve
+        # accuracy once the row weights reach ~1/mu. Both ~sqrt(tol).
+        gd_tol = jnp.sqrt(tol) if (has_soc or has_ex) else 1e3 * tol
         now_done = mu_ok & centered & (rp_inf < jnp.sqrt(tol)) & (gd_inf < gd_tol)
         now_bad = step_bad | (mu_n > 1e12)
         if has_soc:
@@ -678,22 +762,43 @@ def layout_socs(u_soc_r, M, N, Nc, dtype) -> SocSpec:
     return SocSpec(r_c=jnp.asarray(r[0, :Nc]), r_f=jnp.asarray(r[:, Nc:]))
 
 
+def map_extras_rows(cqp: CondensedQP, ex_G, ex_h, nc, nf, M, NX) -> ExtraRows:
+    """Eliminate the state block of full-layout linear rows through the
+    condensed map x = Ft w + g: rows over [u_cons; u_free; x] become dense
+    rows over w = [uc; uf] plus an h shift."""
+    nu_total = nc + M * nf
+    G_u = ex_G[:, :nu_total]
+    G_x = ex_G[:, nu_total:].reshape(ex_G.shape[0], M, NX)
+    Gc = G_u[:, :nc] + jnp.einsum("lmx,mxc->lc", G_x, cqp.Ft[:, :, :nc])
+    Gf = G_u[:, nc:].reshape(ex_G.shape[0], M, nf) \
+        + jnp.einsum("lmx,mxn->lmn", G_x, cqp.Ft[:, :, nc:])
+    h = ex_h - jnp.einsum("lmx,mx->l", G_x, cqp.g)
+    return ExtraRows(Gc=Gc, Gf=Gf, h=h)
+
+
 @partial(jax.jit, static_argnames=("Nc", "scale_slew_target", "N", "has_u",
-                                   "has_x", "has_soc", "iters", "tol_exp",
+                                   "has_x", "has_soc", "has_ex", "iters",
+                                   "tol_exp",
                                    "kappa", "mu_target", "tau", "gondzio"))
 def _host_box_solve(base_args, reg_args, bounds, socs, warm, tol_dyn,
                     weights, Nc, scale_slew_target, N, has_u, has_x,
                     has_soc, iters, tol_exp, kappa, mu_target, tau,
-                    gondzio=0):
+                    gondzio=0, ex_G=None, ex_h=None, has_ex=False):
     """assemble + IPM + recover as ONE compiled program: the host loop pays
     one dispatch per subproblem instead of three (each dispatch is a ~27 ms
     round trip through a remote-TPU tunnel)."""
     cqp = assemble_condensed(*base_args, *reg_args, Nc=Nc, weights=weights,
                              scale_slew_target=scale_slew_target)
+    ex = None
+    if has_ex:
+        M = cqp.Ft.shape[0]
+        NX = cqp.g.shape[-1]
+        ex = map_extras_rows(cqp, ex_G, ex_h, cqp.nc, cqp.nf, M, NX)
     uc, uf, stats = ipm_core(
         cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
         kappa=kappa, mu_target=mu_target, warm=warm, tol_dynamic=tol_dyn,
-        tau=tau, socs=socs, has_soc=has_soc, gondzio=gondzio)
+        tau=tau, socs=socs, has_soc=has_soc, gondzio=gondzio,
+        ex=ex, has_ex=has_ex)
     X, U = recover_XU(cqp, uc, uf, N=N)
     return X, U, uc, uf, stats
 
@@ -703,8 +808,13 @@ def ipm_solve_np(
     Nc: int,
     weights: Optional[jax.Array] = None,
     settings: Optional[Dict[str, Any]] = None,
+    ex_G=None, ex_h=None,
 ) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
-    """numpy frontend: assemble the condensed QP and run the IPM."""
+    """numpy frontend: assemble the condensed QP and run the IPM.
+
+    ``ex_G (l, n_full)`` / ``ex_h (l,)``: LINEAR extra rows over the full
+    consensus layout [u_cons; u_free; x] — solved structurally as SMW
+    borders of the arrow system (see `ExtraRows`)."""
     settings = settings or {}
     f = base_args[1]
     M, N = f.shape[0], f.shape[1]
@@ -732,10 +842,13 @@ def ipm_solve_np(
     # osqp_solver.jl:34-72); ignored when shapes don't match the new problem
     warm = None
     prev_state = settings.get("solver_state") or {}
+    has_ex = ex_G is not None
+    l_ex = int(np.shape(ex_G)[0]) if has_ex else 0
     cand = prev_state.get("ipm_warm") if isinstance(prev_state, dict) else None
     if cand is not None:
         uc_w, uf_w, s_w, lam_w = cand[:4]
-        mtot = 2 * nc + 2 * M * nf + (2 * M * (N * xdim) if has_x else 0)
+        mtot = 2 * nc + 2 * M * nf + (2 * M * (N * xdim) if has_x else 0) \
+            + l_ex
         if (np.shape(uc_w) == (nc,) and np.shape(uf_w) == (M, nf)
                 and np.shape(s_w) == (mtot,) and np.shape(lam_w) == (mtot,)):
             warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
@@ -769,6 +882,9 @@ def ipm_solve_np(
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
              else None),
         gondzio=int(settings.get("ipm_gondzio", 0)),
+        ex_G=jnp.asarray(np.asarray(ex_G, dtype=dtype)) if has_ex else None,
+        ex_h=jnp.asarray(np.asarray(ex_h, dtype=dtype)) if has_ex else None,
+        has_ex=has_ex,
     )
     # ONE device->host transfer for everything: each separate np.asarray on a
     # device array is a blocking round trip (~27 ms through a remote-TPU

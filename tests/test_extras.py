@@ -306,3 +306,144 @@ def test_extras_row_count_mismatch_raises():
             u_l=None, u_u=None, x_l=None, x_u=None,
             Nc=Nc, settings=dict(extra_cstrs=[bad]),
         )
+
+
+def _lin_rows_feasible(rng, M, N, xdim, udim, Nc, l=4, margin=2.5):
+    """Random LINEAR rows g'z <= h over the full consensus layout, with h
+    chosen loose enough relative to control-only activity to stay feasible
+    (control coefficients only — state-involving feasibility is exercised by
+    the dedicated active-row test below)."""
+    nc, nf = Nc * udim, (N - Nc) * udim
+    n_full = nc + M * nf + M * N * xdim
+    nu_total = nc + M * nf
+    G = np.zeros((l, n_full))
+    G[:, :nu_total] = 0.5 * rng.standard_normal((l, nu_total))
+    h = margin + 0.2 * rng.random(l)
+    return (l, [], 0, G, np.zeros((l, 0)), h, np.zeros(n_full), np.zeros(0))
+
+
+def test_linear_extras_structured_matches_composed_and_oracle():
+    """LINEAR-only extra rows ride the arrow IPM as SMW borders
+    (ipm.ExtraRows) instead of densifying through the composed cone path;
+    both routes and the scipy oracle must agree. Reference: linear
+    `extra_cstrs` rows of main.jl:292-316."""
+    rng = np.random.default_rng(55)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    nc, nf = Nc * udim, (N - Nc) * udim
+    n_full = nc + M * nf + M * N * xdim
+    # one ACTIVE control row + one loose state-involving row
+    G = np.zeros((2, n_full))
+    G[0, :udim] = 1.0                       # sum of first consensus controls
+    G[1, nc + M * nf:] = 0.01 * rng.standard_normal(M * N * xdim)
+    h = np.array([0.05, 50.0])
+    ec = (2, [], 0, G, np.zeros((2, 0)), h, np.zeros(n_full), np.zeros(0))
+
+    kw = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc,
+    )
+    X_s, U_s, d_s = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec]))
+    assert d_s["ipm_converged"], d_s
+    assert "aux" not in d_s, "linear extras must stay on the structured path"
+
+    X_c, U_c, d_c = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec], extras_structured=False))
+    assert d_c["ipm_converged"], d_c
+    assert "aux" in d_c, "extras_structured=False must take the composed path"
+    np.testing.assert_allclose(U_s, U_c, atol=5e-5)
+
+    # scipy oracle on the canonical QP with the linear rows
+    P, q = oracle.build_Pq(**p, reg_x=1.0, reg_u=0.1, slew_reg=np.zeros(M),
+                           slew_reg0=np.zeros(M),
+                           slew_um1=np.zeros((M, udim)), Nc=Nc)
+    A, b = oracle.build_Ab(p["x0"], p["f"], p["fx"], p["fu"],
+                           p["X_prev"], p["U_prev"], Nc)
+    z0 = oracle.solve_eq_kkt(P, q, A, b)
+    res = sopt.minimize(
+        lambda z: 0.5 * z @ P @ z + q @ z, z0,
+        jac=lambda z: P @ z + q, hess=lambda z: P,
+        constraints=[sopt.LinearConstraint(A, b, b),
+                     sopt.LinearConstraint(G, -np.inf, h)],
+        method="trust-constr",
+        options=dict(maxiter=3000, gtol=1e-12, xtol=1e-14))
+    X_o, U_o = oracle.split_z(res.x, N, xdim, udim, M, Nc)
+    np.testing.assert_allclose(U_s, U_o, atol=2e-4)
+    # the control row is active
+    assert abs(float(U_s[0, 0].sum()) - 0.05) < 1e-4
+
+
+def test_linear_extras_structured_with_boxes_and_soc():
+    """The bordered extras rows compose with u-boxes AND per-stage control
+    SOC cones on the same arrow solve (has_u + has_soc + has_ex): the dense
+    composed path is the cross-check."""
+    rng = np.random.default_rng(56)
+    M, N, xdim, udim, Nc = 2, 5, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    ec = _lin_rows_feasible(rng, M, N, xdim, udim, Nc, l=3, margin=0.3)
+    umax = 0.7
+    kw = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=-0.9 * np.ones((M, N, udim)), u_u=0.9 * np.ones((M, N, udim)),
+        x_l=None, x_u=None, Nc=Nc,
+    )
+    X_s, U_s, d_s = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec], u_soc_r=np.full((M, N), umax),
+                      ipm_iters=40, ipm_tol_exp=-9))
+    assert d_s["ipm_converged"], d_s
+    assert "aux" not in d_s
+
+    # cross-check: same program with the SOC cones expressed as SOC extras
+    # (which forces the composed path, since q-rows disable the border route)
+    from test_extras import _u_norm_socs
+    ec_soc = _u_norm_socs(M, N, xdim, udim, Nc, umax)
+    X_c, U_c, d_c = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec, ec_soc]))
+    assert d_c["ipm_converged"], d_c
+    assert "aux" in d_c
+    np.testing.assert_allclose(U_s, U_c, atol=2e-4)
+    assert np.linalg.norm(U_s, axis=-1).max() <= umax + 1e-5
+    assert np.abs(U_s).max() <= 0.9 + 1e-6
+
+
+def test_linear_extras_structured_warm_start():
+    """solver_state warm starts thread through the bordered solve: the
+    extended multiplier vector (incl. the l extras rows) round-trips and the
+    re-solve accepts it."""
+    rng = np.random.default_rng(57)
+    M, N, xdim, udim, Nc = 2, 5, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    ec = _lin_rows_feasible(rng, M, N, xdim, udim, Nc, l=3, margin=0.3)
+    kw = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc,
+    )
+    X1, U1, d1 = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec]))
+    assert d1["ipm_converged"]
+    st = d1["solver_state"]
+    assert "ipm_warm" in st
+    X2, U2, d2 = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
+        settings=dict(extra_cstrs=[ec], solver_state=st))
+    assert d2["ipm_converged"]
+    np.testing.assert_allclose(U1, U2, atol=1e-6)
+    assert int(d2["ipm_iters"]) <= int(d1["ipm_iters"])
