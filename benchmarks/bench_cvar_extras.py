@@ -186,9 +186,17 @@ def main():
         return (1, [], 0, g, np.zeros((1, 0)), np.array([0.2 + 0.01 * i]),
                 np.zeros(n_full), np.zeros(0))
 
+    # linear extras + per-stage control cones ride the STRUCTURED batched
+    # route (vmapped arrow IPM with SMW-bordered rows — conebatch
+    # _run_struct_batched), not the dense composed cone program.
+    # struct_device="cpu": through the remote-TPU tunnel the per-call
+    # transfer of the stacked batch dominates this route's cheap compute
+    # (~700 ms vs ~30 ms/iteration measured); the B independent arrow IPMs
+    # shard across host cores instead, same placement as the f64 cone route.
     line, out = run_batch(
         f"batched_extras_usoc_B{B}_M{Mb}",
-        [mk(i, extra_cstrs=[ec(i)], u_soc_r=np.full((Mb, N), umax))
+        [mk(i, extra_cstrs=[ec(i)], u_soc_r=np.full((Mb, N), umax),
+            struct_device="cpu")
          for i in range(B)])
     line["u_norm_max"] = float(max(
         np.linalg.norm(r[1], axis=-1).max() for r in out if r[1] is not None))

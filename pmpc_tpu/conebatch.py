@@ -86,7 +86,98 @@ def _cone_scp_step(state, warm_in, probs_c, bounds_c, ecs_c, extras_q_c,
     return (X_o, U_o, resid_o, done_o, failed_v), warm_out
 
 
+def _struct_scp_step(state, warm_in, probs_c, bounds_c, socs_c, ex_c,
+                     *, dyn, Nc, N, has_u, has_x, has_soc, has_ex,
+                     iters, tol_exp, kappa, adaptive, res_tol):
+    """ONE device program for one batched SCP iteration on the STRUCTURED
+    route: linearize + vmapped (condensed assembly + arrow IPM + recover).
+
+    Eligible signatures — boxes, per-stage control-norm cones, and
+    LINEAR-only extras (which border the arrow system, `ipm.ExtraRows`) —
+    never build the dense composed cone program at all: each problem's
+    subproblem is the same arrow-structured Mehrotra IPM the serial host
+    path runs, vmapped over the batch axis (`ipm_core` freezes per-lane on
+    convergence, so the inner while_loop runs to the batch max)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .dynamics import linearize
+    from .solvers.ipm import ipm_core, map_extras_rows
+    from .solvers.reduced import assemble_condensed, recover_XU
+
+    X_p, U_p, resid_v, done_v, failed_v = state
+    B = X_p.shape[0]
+    x_at = jnp.concatenate(
+        [probs_c["x0"][:, :, None, :], X_p[:, :, :-1, :]], axis=2)
+    f, fx, fu = linearize(dyn, x_at, U_p)
+    tol_dyn = None
+    if adaptive:
+        r = jnp.minimum(jnp.where(jnp.isfinite(resid_v), resid_v, 1e3), 1e3)
+        tol_dyn = jnp.clip(1e-3 * r * r, 0.0, 1e-3).astype(X_p.dtype)
+
+    def one(f_b, fx_b, fu_b, Xp_b, Up_b, pc, bounds_b, socs_b, ex_b,
+            warm_b, tol_dyn_b):
+        cqp = assemble_condensed(
+            pc["x0"], f_b, fx_b, fu_b, Xp_b, Up_b,
+            pc["Q"], pc["R"], pc["X_ref"], pc["U_ref"],
+            pc["reg_x"], pc["reg_u"], pc["slew_reg"], pc["slew_reg0"],
+            pc["slew_um1"], Nc=Nc)
+        ex = None
+        if has_ex:
+            M_ = cqp.Ft.shape[0]
+            NX_ = cqp.g.shape[-1]
+            ex = map_extras_rows(cqp, ex_b[0], ex_b[1], cqp.nc, cqp.nf,
+                                 M_, NX_)
+        uc, uf, stats = ipm_core(
+            cqp, bounds_b, has_u=has_u, has_x=has_x, iters=iters,
+            tol_exp=tol_exp, kappa=kappa, warm=warm_b,
+            tol_dynamic=tol_dyn_b, socs=socs_b, has_soc=has_soc,
+            ex=ex, has_ex=has_ex)
+        X_b, U_b = recover_XU(cqp, uc, uf, N=N)
+        warm_out = (uc, uf, stats["s"], stats["lam"])
+        if has_soc:
+            warm_out = warm_out + (stats["sq"], stats["zq"])
+        return X_b, U_b, warm_out, stats["mu"], stats["converged"], \
+            stats["failed"]
+
+    X_new, U_new, warm_new, mu_v, conv_v, fail_v = jax.vmap(one)(
+        f, fx, fu, X_p, U_p,
+        {k: probs_c[k] for k in ("x0", "Q", "R", "X_ref", "U_ref", "reg_x",
+                                 "reg_u", "slew_reg", "slew_reg0",
+                                 "slew_um1")},
+        bounds_c, socs_c, ex_c, warm_in, tol_dyn)
+
+    # same hard-fail contract as the composed step: an unconverged IPM whose
+    # duality measure is far from its target never produced a usable iterate
+    # (infeasible rows drive mu to a plateau, not to tol)
+    tol_eff = jnp.maximum(
+        10.0 ** tol_exp, 0.0 if tol_dyn is None else jnp.max(tol_dyn))
+    hard_fail = fail_v | ~jnp.isfinite(mu_v) \
+        | ((~conv_v) & (mu_v > 1e2 * tol_eff))
+    dX, dU = X_new - X_p, U_new - U_p
+    r_new = jnp.maximum(
+        jnp.max(jnp.linalg.norm(dX, axis=-1), axis=(1, 2)),
+        jnp.max(jnp.linalg.norm(dU, axis=-1), axis=(1, 2)))
+    bad = hard_fail | ~jnp.isfinite(r_new)
+    accept = ~(done_v | bad)
+    failed_v = failed_v | (bad & ~done_v & ~jnp.isfinite(resid_v))
+    acc4 = accept[:, None, None, None]
+    X_o = jnp.where(acc4, X_new, X_p)
+    U_o = jnp.where(acc4, U_new, U_p)
+    if warm_in is None:
+        warm_out = warm_new
+    else:
+        warm_out = jax.tree.map(
+            lambda n, o: jnp.where(
+                accept.reshape((B,) + (1,) * (n.ndim - 1)), n, o),
+            warm_new, warm_in)
+    resid_o = jnp.where(accept, r_new, resid_v)
+    done_o = done_v | (accept & (r_new < res_tol)) | bad
+    return (X_o, U_o, resid_o, done_o, failed_v), warm_out
+
+
 _STEP_JIT = None
+_STRUCT_STEP_JIT = None
 
 
 def _get_step_jit():
@@ -100,6 +191,17 @@ def _get_step_jit():
             "dyn", "dims", "sig", "smooth_method", "Nc", "has_cvar",
             "iters", "tol_exp", "kappa", "adaptive", "res_tol"))
     return _STEP_JIT
+
+
+def _get_struct_step_jit():
+    global _STRUCT_STEP_JIT
+    if _STRUCT_STEP_JIT is None:
+        import jax
+
+        _STRUCT_STEP_JIT = jax.jit(_struct_scp_step, static_argnames=(
+            "dyn", "Nc", "N", "has_u", "has_x", "has_soc", "has_ex",
+            "iters", "tol_exp", "kappa", "adaptive", "res_tol"))
+    return _STRUCT_STEP_JIT
 
 
 def _canon_problem(p: Dict[str, Any]) -> Dict[str, Any]:
@@ -270,6 +372,29 @@ def solve_problems_cone(
 
     max_it = int(p0.get("max_it", 100))
     res_tol = float(p0.get("res_tol", 1e-5))
+
+    # STRUCTURED route: boxes + per-stage control cones + LINEAR-only extras
+    # never need the dense composed cone program — each subproblem is the
+    # arrow IPM (with the extras rows as SMW borders), vmapped over B. This
+    # runs at the box-path's dtype/backend (f32 on TPU), not the CPU-pinned
+    # f64 cone path.
+    lin_only = all(q == () and e == 0 and na == 0 for (_, q, e, na) in sig)
+    c_left_zero = all(np.all(arrs[i][3] == 0.0)
+                      for arrs in arrays for i in range(len(sig)))
+    struct_ok = (not has_cvar and not smooth and not extras_q_np
+                 and lin_only and c_left_zero
+                 and ss0.get("mu_target") is None
+                 and bool(ss0.get("extras_structured", True))
+                 and "cone_dtype" not in ss0 and "cone_device" not in ss0)
+    if struct_ok:
+        X_np, U_np, resid_b, failed_b, iters_used, t_aff = \
+            _run_struct_batched(
+                probs_np, bounds_np, cps, sig, arrays, dyn=dyn, B=B, M=M,
+                N=N, xdim=xdim, udim=udim, Nc=Nc, ss0=ss0, max_it=max_it,
+                res_tol=res_tol)
+        return _emit(problems, probs_np, X_np, U_np, resid_b, failed_b,
+                     iters_used, t_aff, res_tol, split)
+
     cdt = np.dtype(ss0.get("cone_dtype", np.float64))
     f64 = cdt == np.float64
     iters = int(ss0.get("ipm_iters", 100 if f64 else (50 if has_cvar else 35)))
@@ -345,6 +470,15 @@ def solve_problems_cone(
 
         X_np, U_np, resid_b, done, failed_b = (np.asarray(z) for z in state)
 
+    return _emit(problems, probs_np, X_np, U_np, resid_b, failed_b,
+                 iters_used, t_aff, res_tol, split)
+
+
+def _emit(problems, probs_np, X_np, U_np, resid_b, failed_b, iters_used,
+          t_aff, res_tol, split):
+    """Shared result packaging for both batched routes (the scp.py
+    per-problem contract: `(None, None, None)` on hard failure)."""
+    B = X_np.shape[0]
     X_traj = np.concatenate([np.asarray(probs_np["x0"])[:, :, None, :], X_np],
                             axis=2)
     base = dict(fused_cone=True, iters=iters_used, t_aff_solve=t_aff)
@@ -366,3 +500,128 @@ def solve_problems_cone(
         else:
             out.append((Xi, Ui, d))
     return out
+
+
+def _run_struct_batched(probs_np, bounds_np, cps, sig, arrays, *, dyn, B, M,
+                        N, xdim, udim, Nc, ss0, max_it, res_tol):
+    """Drive the structured batched SCP loop (see `_struct_scp_step`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .utils import default_dtype
+
+    dtype = np.dtype(ss0.get("dtype", default_dtype()))
+    has_u = any(bounds_np.get(k) is not None for k in ("u_l", "u_u"))
+    has_x = any(bounds_np.get(k) is not None for k in ("x_l", "x_u"))
+    has_soc = bounds_np.get("u_soc_r") is not None
+    has_ex = len(sig) > 0
+
+    iters = int(ss0.get("ipm_iters", 30))
+    tol_exp = int(ss0.get("ipm_tol_exp",
+                          -8 if dtype == np.float64 else -5))
+    kappa = float(ss0.get("ipm_kappa",
+                          0.0 if dtype == np.float64 else 1e-7))
+    adaptive = bool(ss0.get("ipm_adaptive_tol", "ipm_tol_exp" not in ss0))
+
+    # placement: 'auto' follows the default backend (on-chip f32 — the
+    # production design). settings["struct_device"]="cpu" pins the loop to
+    # the in-process XLA CPU devices instead: with a REMOTE-tunneled
+    # accelerator the per-call host->device transfer of the stacked batch
+    # (~1 MB here) dominates this route's cheap compute, and B independent
+    # arrow IPMs shard perfectly across host cores.
+    want = str(ss0.get("struct_device", "auto"))
+    try:
+        cpudevs = jax.devices("cpu")
+    except RuntimeError:
+        cpudevs = []
+    import contextlib
+
+    scope = contextlib.ExitStack()
+    on_cpu = jax.default_backend() == "cpu"
+    if want == "cpu" and not on_cpu and cpudevs:
+        scope.enter_context(jax.default_device(cpudevs[0]))
+        on_cpu = True
+
+    cast = lambda a: jnp.asarray(np.asarray(a), dtype)
+    with scope:
+        return _run_struct_loop(
+            probs_np, bounds_np, cps, sig, arrays, cast=cast, dtype=dtype,
+            dyn=dyn, B=B, M=M, N=N, xdim=xdim, udim=udim, Nc=Nc,
+            has_u=has_u, has_x=has_x, has_soc=has_soc, has_ex=has_ex,
+            iters=iters, tol_exp=tol_exp, kappa=kappa, adaptive=adaptive,
+            max_it=max_it, res_tol=res_tol, on_cpu=on_cpu, cpudevs=cpudevs)
+
+
+def _run_struct_loop(probs_np, bounds_np, cps, sig, arrays, *, cast, dtype,
+                     dyn, B, M, N, xdim, udim, Nc, has_u, has_x, has_soc,
+                     has_ex, iters, tol_exp, kappa, adaptive, max_it,
+                     res_tol, on_cpu, cpudevs):
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .solvers.ipm import _layout_bounds, layout_socs
+
+    nc, nf = Nc * udim, (N - Nc) * udim
+    NX = N * xdim
+    blist = [_layout_bounds(cp["u_l"], cp["u_u"], cp["x_l"], cp["x_u"],
+                            M, N, NX, nc, nf, udim, dtype) for cp in cps]
+    bounds_b = jax.tree.map(lambda *xs: jnp.stack(xs), *blist)
+    socs_b = None
+    if has_soc:
+        slist = [layout_socs(bounds_np["u_soc_r"][b], M, N, Nc, dtype)
+                 for b in range(B)]
+        socs_b = jax.tree.map(lambda *xs: jnp.stack(xs), *slist)
+    ex_b = None
+    if has_ex:
+        ex_b = (
+            jnp.asarray(np.stack([np.concatenate(
+                [arrays[b][i][0] for i in range(len(sig))], axis=0)
+                for b in range(B)]).astype(dtype)),
+            jnp.asarray(np.stack([np.concatenate(
+                [arrays[b][i][2] for i in range(len(sig))])
+                for b in range(B)]).astype(dtype)),
+        )
+
+    probs = {k: cast(probs_np[k]) for k in
+             ("x0", "Q", "R", "X_ref", "U_ref", "X_prev", "U_prev", "reg_x",
+              "reg_u", "slew_reg", "slew_reg0", "slew_um1")}
+
+    # CPU backend with several XLA host devices: shard the batch axis (the
+    # B arrow IPMs are independent; same discipline as the cone route)
+    shard_b = None
+    nshard = len(cpudevs)
+    while nshard > 1 and B % nshard:
+        nshard -= 1
+    if on_cpu and nshard > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(cpudevs[:nshard]), ("b",))
+        shard_b = NamedSharding(mesh, PartitionSpec("b"))
+        place = lambda t: jax.tree.map(
+            lambda a: jax.device_put(a, shard_b), t)
+        probs, bounds_b, socs_b, ex_b = place((probs, bounds_b, socs_b, ex_b))
+
+    state = (probs["X_prev"], probs["U_prev"],
+             cast(np.full((B,), np.inf)),
+             jnp.zeros((B,), bool), jnp.zeros((B,), bool))
+    if shard_b is not None:
+        state = jax.tree.map(lambda a: jax.device_put(a, shard_b), state)
+    warm = None
+    iters_used, t_aff = 0, []
+    for it in range(max_it):
+        t0 = _time.time()
+        state, warm = _get_struct_step_jit()(
+            state, warm, probs, bounds_b, socs_b, ex_b, dyn=dyn, Nc=Nc, N=N,
+            has_u=has_u, has_x=has_x, has_soc=has_soc, has_ex=has_ex,
+            iters=iters, tol_exp=tol_exp, kappa=kappa, adaptive=adaptive,
+            res_tol=res_tol)
+        done_all = bool(np.asarray(state[3].all()))  # the one sync point
+        t_aff.append(_time.time() - t0)
+        iters_used = it + 1
+        if done_all:
+            break
+
+    X_np, U_np, resid_b, _done, failed_b = (np.asarray(z) for z in state)
+    return X_np, U_np, resid_b, failed_b, iters_used, t_aff

@@ -127,6 +127,13 @@ def _use_pallas_factor(A) -> bool:
     try:
         import jax
 
+        # same caveat as _use_host_inverse_factor: jax.default_backend()
+        # IGNORES an active jax.default_device scope, and the batched
+        # structured route pins CPU exactly that way — a Pallas call would
+        # fail to lower there
+        dev = jax.config.jax_default_device
+        if dev is not None and getattr(dev, "platform", None) == "cpu":
+            return False
         return jax.default_backend() in ("tpu", "axon")
     except Exception:
         return False

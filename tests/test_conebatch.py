@@ -107,3 +107,41 @@ def test_batched_signature_mismatch_raises():
         Nc=Nc, extra_cstrs=[ec2]))
     with pytest.raises(ValueError, match="signature"):
         solve_problems([p1, p2], fused=True)
+
+
+def test_batched_linear_extras_usoc_structured_route():
+    """Linear extras + per-stage control cones batch on the STRUCTURED arrow
+    IPM (vmapped `ipm_core` with `ExtraRows` borders) — the dense composed
+    cone program must not be built at all, and the result matches serial."""
+    import pmpc_tpu.solvers.compose as compose
+
+    M, N, xdim, udim, Nc = 3, 8, 4, 2, 3
+    B = 4
+    probs = [dict(_mk_problem(30 + i, M=M, N=N),
+                  solver_settings=dict(
+                      Nc=Nc, u_soc_r=np.full((M, N), 0.8),
+                      extra_cstrs=[
+                          _extras_row(M, N, xdim, udim, Nc, 0.1 + 0.05 * i)]))
+             for i in range(B)]
+
+    orig = compose.composed_solve_batch_device
+
+    def boom(*a, **k):
+        raise AssertionError("linear extras + u_soc must not densify "
+                             "through the composed cone path")
+
+    compose.composed_solve_batch_device = boom
+    try:
+        out = solve_problems(probs, fused=True)
+    finally:
+        compose.composed_solve_batch_device = orig
+
+    assert len(out) == B
+    for i, (X, U, d) in enumerate(out):
+        assert d["converged"], (i, d)
+        assert U[0, 0].sum() <= 0.1 + 0.05 * i + 1e-5
+        assert np.linalg.norm(U, axis=-1).max() <= 0.8 + 1e-5
+        assert np.ptp(U[:, :Nc], axis=0).max() < 1e-6  # consensus
+    i = 1
+    Xs, Us, ds = pmpc_tpu.solve(**{k: v for k, v in probs[i].items()})
+    np.testing.assert_allclose(out[i][1], Us, atol=2e-4)
