@@ -315,7 +315,10 @@ def affine_solve_np(
         # path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            not extra_cstrs
+            # LINEAR-only extras border the Riccati Newton system (ex_lin
+            # was canonicalized above); SOC/exp/aux extras need the
+            # condensed cone machinery
+            (not extra_cstrs or ex_lin is not None)
             # logbarrier smoothing = central-path stop (mu_target), which
             # the stage-structured IPM carries; squareplus needs the smooth
             # Newton path
@@ -353,11 +356,12 @@ def affine_solve_np(
         # logbarrier smoothing (central-path stop): the stage-structured
         # Mehrotra IPM (riccati_ipm); extras and squareplus smoothing need
         # the condensed machinery
-        if extra_cstrs or (smooth_cstr and smooth_cstr != "logbarrier"):
+        if (extra_cstrs and ex_lin is None) \
+                or (smooth_cstr and smooth_cstr != "logbarrier"):
             raise NotImplementedError(
-                "method='riccati' supports box bounds, u_soc_r cones and "
-                "logbarrier smoothing; extras and squareplus smoothing "
-                "need the condensed path")
+                "method='riccati' supports box bounds, u_soc_r cones, "
+                "LINEAR extras and logbarrier smoothing; SOC/exp/aux "
+                "extras and squareplus smoothing need the condensed path")
         st = settings
         if smooth_cstr == "logbarrier":
             alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)
@@ -371,7 +375,9 @@ def affine_solve_np(
 
         return riccati_ipm_solve_np(
             base_args, reg_args, u_l, u_u, Nc=Nc, settings=st,
-            x_l=x_l, x_u=x_u, u_soc_r=u_soc_r)
+            x_l=x_l, x_u=x_u, u_soc_r=u_soc_r,
+            ex_G=ex_lin[0] if ex_lin is not None else None,
+            ex_h=ex_lin[1] if ex_lin is not None else None)
 
     if not has_ineq:
         if want_riccati:

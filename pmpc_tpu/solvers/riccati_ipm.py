@@ -37,7 +37,11 @@ Role parity: long-horizon replacement for the reference's sparse CPU
 factorizations (block-bidiagonal equality chains handed to ECOS/OSQP,
 ``PMPC.jl/src/lqp_utils.jl:219-303``); SURVEY §5 long-context note. Slew
 coupling enters via `riccati.augment_slew_stages` state augmentation; state
-boxes and cones need the condensed path (gated by the dispatcher).
+boxes ride the per-stage ``Qt_j`` diagonal; per-stage control-norm cones
+put NT blocks on ``Rt_j``/the theta Schur; LINEAR extras border the Newton
+system as reduced dense rows (see `riccati_ipm_core`'s ex_* args). Only
+SOC/exp/aux extras and squareplus smoothing still need the condensed path
+(gated by the dispatcher).
 """
 
 from __future__ import annotations
@@ -264,6 +268,10 @@ def riccati_ipm_core(
     soc_rc=None,
     soc_rf=None,
     mu_target: float = 0.0,
+    ex_Gc=None,
+    ex_Gf=None,
+    ex_Gx=None,
+    ex_h=None,
 ):
     """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
 
@@ -291,6 +299,19 @@ def riccati_ipm_core(
             consensus-stage blocks on the theta Schur complement, so the
             O(N) structure is untouched (stage-structured analog of the
             arrow path's SocSpec handling, `ipm.py:194-238`).
+        ex_Gc (l, nct) / ex_Gf (l, M, nfu) / ex_Gx (l, M, N, nxe) / ex_h
+            (l,): LINEAR extra rows ``g'z <= h`` over the full consensus
+            layout, pre-split by variable block (+inf h rows inactive).
+            The state block is eliminated through ONE adjoint sweep per row
+            (A/B are constant within the subproblem, so the reduced rows
+            over (theta, uf) are constant), then the rows border the
+            Riccati Newton system exactly like `ipm.ExtraRows` borders the
+            arrow: l+2 Riccati solves per direction + an l x l Schur factor
+            per iteration, with the extras dual step taken from the Schur
+            solve (the flat recovery cancels at row weights ~1/mu). This is
+            the O(N) long-horizon route for the reference's linear
+            ``extra_cstrs`` (main.jl:292-316) that round 3 gated to the
+            condensed path.
 
     Returns (theta (nct,), uf (M, nfu), stats) — recover trajectories with
     `recover_XU_stage`.
@@ -304,11 +325,14 @@ def riccati_ipm_core(
     Nf = N - Nc
     has_x = x_lo is not None
     nxb = x_lo.shape[-1] if has_x else 0
+    has_ex = ex_h is not None
+    l_ex = ex_h.shape[0] if has_ex else 0
     mx = M * N * nxb
-    mtot = 2 * nct + 2 * M * nfu + 2 * mx
+    mtot = 2 * nct + 2 * M * nfu + 2 * mx + l_ex
     o_chi, o_flo, o_fhi = nct, 2 * nct, 2 * nct + M * nfu
     o_xlo = 2 * nct + 2 * M * nfu
     o_xhi = o_xlo + mx
+    o_ex = o_xhi + mx
 
     tol = jnp.asarray(10.0 ** tol_exp, dtype=dtype)
     if tol_dynamic is not None:
@@ -323,6 +347,8 @@ def riccati_ipm_core(
     bound_blocks = [lo_c, hi_c, lo_f.reshape(-1), hi_f.reshape(-1)]
     if has_x:
         bound_blocks += [x_lo.reshape(-1), x_hi.reshape(-1)]
+    if has_ex:
+        bound_blocks += [ex_h]
     lo_flat = jnp.concatenate(bound_blocks)
     mask = jnp.isfinite(lo_flat) & jnp.concatenate([
         maskc > 0, maskc > 0,
@@ -419,13 +445,35 @@ def riccati_ipm_core(
                          (A_, B_, vX_), reverse=True)
         return gU
 
-    def _x_adjoint(vx):
-        """G_x' vx for state-row multipliers vx (M, N, nxb) -> (gth, gf)."""
-        vX = jnp.zeros((M, N, xdim), dtype).at[..., :nxb].set(vx)
+    def _x_adjoint_gen(vx, d):
+        """G_x' vx for state-row multipliers vx (M, N, d) -> (gth, gf)."""
+        vX = jnp.zeros((M, N, xdim), dtype).at[..., :d].set(vx)
         gU = jax.vmap(_adj_one)(A, B, vX)
         gth = jnp.einsum("nuk,mnu->k", Es, gU) * maskc
         gf = gU[:, Nc:, :].reshape(M, nfu)
         return gth, gf
+
+    def _x_adjoint(vx):
+        return _x_adjoint_gen(vx, nxb)
+
+    # ---- linear extras rows, reduced over (theta, uf) ----------------------
+    # A/B are constant within the subproblem, so each row's state block
+    # collapses through ONE adjoint sweep into a constant dense row over the
+    # reduced variables, and the constant state offset (rollout with zero
+    # controls) shifts h: g'z <= h becomes exr.(theta, uf) <= h_eff. This is
+    # the stage-space analog of `ipm.map_extras_rows` without ever forming
+    # the condensed sensitivity.
+    if has_ex:
+        nxe = ex_Gx.shape[-1]
+        gx_th, gx_f = jax.vmap(lambda gx: _x_adjoint_gen(gx, nxe))(ex_Gx)
+        exr_c = ex_Gc * maskc[None, :] + gx_th      # (l, nct)
+        exr_f = ex_Gf + gx_f                        # (l, M, nfu)
+        X_zero = jax.vmap(_roll_one)(
+            x0, c, A, B, jnp.zeros((M, N, udim), dtype))[..., :nxe]
+        h_eff = ex_h - jnp.einsum("lmnd,mnd->l", ex_Gx, X_zero)
+
+        def ex_dot(th_, uf_):
+            return exr_c @ th_ + jnp.einsum("lmn,mn->l", exr_f, uf_)
 
     def slack_vals(theta, uf):
         base = [theta - lo_c, hi_c - theta,
@@ -433,6 +481,8 @@ def riccati_ipm_core(
         if has_x:
             Xb = _states_of(theta, uf)
             base += [(Xb - x_lo).reshape(-1), (x_hi - Xb).reshape(-1)]
+        if has_ex:
+            base += [h_eff - ex_dot(theta * maskc, uf)]
         return jnp.concatenate(base)
 
     def g_dot_z(dth, duf):
@@ -441,16 +491,22 @@ def riccati_ipm_core(
         if has_x:
             dX = _dstates_of(dth, duf).reshape(-1)
             blocks += [-dX, dX]
+        if has_ex:
+            blocks += [ex_dot(dth * maskc, duf)]
         return jnp.concatenate(blocks)
 
     def gT_dot(v):
         bc = v[o_chi:o_flo] - v[:nct]
         bf = (v[o_fhi:o_xlo] - v[o_flo:o_fhi]).reshape(M, nfu)
         if has_x:
-            vx = (v[o_xhi:] - v[o_xlo:o_xhi]).reshape(M, N, nxb)
+            vx = (v[o_xhi:o_ex] - v[o_xlo:o_xhi]).reshape(M, N, nxb)
             gth, gf = _x_adjoint(vx)
             bc = bc + gth
             bf = bf + gf
+        if has_ex:
+            ve = v[o_ex:]
+            bc = bc + ve @ exr_c
+            bf = bf + jnp.einsum("l,lmn->mn", ve, exr_f)
         return bc, bf
 
     def grad_lagrangian(theta, uf, lam):
@@ -544,7 +600,8 @@ def riccati_ipm_core(
             zc, zf = cone_scatter(zq)
             gc, gf = gc - zc, gf - zf
         w = jnp.where(mask, jnp.minimum(lam / s, w_max), 0.0)
-        wx = (w[o_xlo:o_xhi] + w[o_xhi:]).reshape(M, N, nxb) if has_x else None
+        wx = (w[o_xlo:o_xhi] + w[o_xhi:o_ex]).reshape(M, N, nxb) \
+            if has_x else None
         soc_kw = {}
         if has_soc:
             r_pq = (sq - cone_vals(theta, uf)) * rmaskf[:, None]
@@ -564,16 +621,57 @@ def riccati_ipm_core(
                                  Bq[:Nc]).reshape(Nc * udim, Nc * udim)
                 Sc_blk = Sc_blk.at[:Nc * udim, :Nc * udim].add(blk)
             soc_kw = dict(Bq_free=Bq_free, Sc_blk=Sc_blk)
-        solve_K = newton_factor(
+        base_solve = newton_factor(
             w[:nct] + w[o_chi:o_flo],
             (w[o_flo:o_fhi] + w[o_fhi:o_xlo]).reshape(M, nfu), wx, **soc_kw)
+
+        if has_ex:
+            # augmented bordered solve (ipm.py ExtraRows contract): the l
+            # extras rows stay explicit — their dual step comes from the
+            # l x l Schur system (exr A^-1 exr' + W^-1) dlam = exr A^-1 b
+            # - c2, the primal step from one more Riccati solve of
+            # (b - exr' dlam). Cost: l+2 Riccati sweeps per direction + one
+            # l x l factor per iteration, all O(N).
+            from ..ops.linalg import spd_apply, spd_factor
+
+            w_ex = w[o_ex:]
+            mask_ex = mask[o_ex:]
+            Zc, Zf = jax.vmap(base_solve)(exr_c, exr_f)
+            S_ex = exr_c @ Zc.T + jnp.einsum("kmn,lmn->kl", exr_f, Zf)
+            S_ex = S_ex + jnp.diag(jnp.where(
+                mask_ex, 1.0 / jnp.maximum(w_ex, 1e-30),
+                jnp.asarray(1e30, dtype)))
+            LS_ex = spd_factor(S_ex, jitter=1e-12)
+
+            def solve_K(bc_, bf_, c2_):
+                yc, yf = base_solve(bc_, bf_)
+                rl = exr_c @ yc + jnp.einsum("lmn,mn->l", exr_f, yf)
+                dle = jnp.where(mask_ex, spd_apply(LS_ex, rl - c2_), 0.0)
+                dth_, duf_ = base_solve(
+                    bc_ - dle @ exr_c,
+                    bf_ - jnp.einsum("l,lmn->mn", dle, exr_f))
+                return dth_, duf_, dle
+        else:
+            def solve_K(bc_, bf_, c2_):
+                dth_, duf_ = base_solve(bc_, bf_)
+                return dth_, duf_, None
 
         def winv_lam_dc(Wi, lam_, dc):
             return Wi @ _soc_prod(_soc_inv(lam_), dc)
 
         def newton_rhs(r_c, dq_c):
             v = jnp.where(mask, (lam * r_p - r_c) / s, 0.0)
-            dc, df = gT_dot(v)
+            if has_ex:
+                # extras rows stay EXPLICIT (folding them through v like the
+                # diagonal families multiplies the solve error by w_ex ~
+                # 1/mu and the dual residual diverges — ipm.py contract)
+                v_fold = v.at[o_ex:].set(0.0)
+                c2 = jnp.where(mask[o_ex:],
+                               -r_p[o_ex:] + r_c[o_ex:]
+                               / jnp.maximum(lam[o_ex:], 1e-30), 0.0)
+            else:
+                v_fold, c2 = v, None
+            dc, df = gT_dot(v_fold)
             bc, bf = -(gc + dc) * maskc, -(gf + df)
             vq = None
             if has_soc:
@@ -581,12 +679,17 @@ def riccati_ipm_core(
                     - jax.vmap(winv_lam_dc)(Wqinv, lamq, dq_c)
                 vqc, vqf = cone_scatter(vq)  # rhs -= G' vq = +S' vq[1:]
                 bc, bf = bc + vqc, bf + vqf
-            return (bc, bf), v, vq
+            return (bc, bf), v, vq, c2
 
-        def recover_steps(dth, duf, v, vq):
+        def recover_steps(dth, duf, v, vq, dlam_ex=None):
             gdz = g_dot_z(dth, duf)
             ds = jnp.where(mask, -r_p - gdz, 0.0)
             dlam = jnp.where(mask, w * gdz + v, 0.0)
+            if has_ex:
+                # the Schur-computed extras dual step is the numerically
+                # stable one (w*gdz + v cancels at w ~ 1/mu)
+                dlam = dlam.at[o_ex:].set(
+                    jnp.where(mask[o_ex:], dlam_ex, 0.0))
             dsq = dzq = None
             if has_soc:
                 gdq = cone_gdv(dth, duf)
@@ -623,11 +726,11 @@ def riccati_ipm_core(
         if mehrotra:
             # predictor (affine)
             dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None
-            (bc, bf), v_aff, vq_aff = newton_rhs(
+            (bc, bf), v_aff, vq_aff, c2_aff = newton_rhs(
                 jnp.where(mask, s * lam, 0.0), dq_aff)
-            dth_a, duf_a = solve_K(bc, bf)
+            dth_a, duf_a, dle_a = solve_K(bc, bf, c2_aff)
             ds_a, dlam_a, dsq_a, dzq_a = recover_steps(dth_a, duf_a, v_aff,
-                                                       vq_aff)
+                                                       vq_aff, dle_a)
             ap_a, ad_a = step_len(s, ds_a, lam, dlam_a, sq, dsq_a, zq, dzq_a)
             mu_aff = mu_of(s + ap_a * ds_a, lam + ad_a * dlam_a,
                            sq + ap_a * dsq_a if has_soc else sq,
@@ -648,9 +751,9 @@ def riccati_ipm_core(
             r_c = jnp.where(mask, s * lam - mu_t, 0.0)
             dq_c = (jax.vmap(_soc_prod)(lamq, lamq) - mu_t * e_soc) \
                 if has_soc else None
-        (bc, bf), v, vq = newton_rhs(r_c, dq_c)
-        dth, duf = solve_K(bc, bf)
-        ds, dlam, dsq, dzq = recover_steps(dth, duf, v, vq)
+        (bc, bf), v, vq, c2_m = newton_rhs(r_c, dq_c)
+        dth, duf, dle_m = solve_K(bc, bf, c2_m)
+        ds, dlam, dsq, dzq = recover_steps(dth, duf, v, vq, dle_m)
         ap, ad = step_len(s, ds, lam, dlam, sq, dsq, zq, dzq)
 
         th_n = theta + ap * dth
@@ -680,8 +783,10 @@ def riccati_ipm_core(
                 rmaskf * (jnp.linalg.norm(u_[:, 1:], axis=-1) - u_[:, 0]))
             step_bad = step_bad | (_esc(sq_n) > 0) | (_esc(zq_n) > 0)
         # with SOC cones the achievable dual accuracy is cancellation-limited
-        # by the NT scaling near the boundary (~sqrt(tol); ipm.py:564-567)
-        gd_tol = jnp.sqrt(tol) if has_soc else 1e3 * tol
+        # by the NT scaling near the boundary; extras borders by the
+        # bordered-solve accuracy at row weights ~1/mu (both ~sqrt(tol);
+        # ipm.py contract)
+        gd_tol = jnp.sqrt(tol) if (has_soc or has_ex) else 1e3 * tol
         mu_ok = mu_n < jnp.maximum(tol, mu_t * 1.05)
         if mu_target_pos:
             # the products must also be CENTERED at mu_target (that is what
@@ -784,6 +889,7 @@ def riccati_ipm_solve_np(
     base_args, reg_args, u_l, u_u, Nc: int,
     settings: Optional[dict] = None,
     x_l=None, x_u=None, u_soc_r=None,
+    ex_G=None, ex_h=None,
 ):
     """numpy frontend of the stage-structured box IPM (host-path analog of
     `ipm.ipm_solve_np`): threads a warm start through
@@ -798,7 +904,9 @@ def riccati_ipm_solve_np(
     nct = max(nc, 1)
     nfu = (N - Nc) * udim
     has_x = x_l is not None or x_u is not None
-    mtot = 2 * nct + 2 * M * nfu + (2 * M * N * xdim if has_x else 0)
+    has_ex = ex_G is not None
+    l_ex = int(np.shape(ex_G)[0]) if has_ex else 0
+    mtot = 2 * nct + 2 * M * nfu + (2 * M * N * xdim if has_x else 0) + l_ex
 
     has_soc = u_soc_r is not None
     nq = (Nc + M * (N - Nc)) if has_soc else 0
@@ -853,6 +961,9 @@ def riccati_ipm_solve_np(
         soc_kw = dict(u_soc_r=jnp.asarray(np.asarray(u_soc_r, dtype=dtype)))
     if float(settings.get("mu_target", 0.0) or 0.0) > 0.0:
         soc_kw["mu_target"] = float(settings["mu_target"])
+    if has_ex:
+        soc_kw["ex_G"] = jnp.asarray(np.asarray(ex_G, dtype=dtype))
+        soc_kw["ex_h"] = jnp.asarray(np.asarray(ex_h, dtype=dtype))
     X, U, stats = riccati_ipm_solve_scp(
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in base_args],
         *[jnp.asarray(np.asarray(a, dtype=dtype)) for a in reg_args[:2]],
@@ -883,7 +994,8 @@ def riccati_ipm_solve_np(
 def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
                           reg_x, reg_u, u_l, u_u, Nc: int,
                           slew_reg=None, slew_reg0=None, slew_um1=None,
-                          x_l=None, x_u=None, u_soc_r=None, **kw):
+                          x_l=None, x_u=None, u_soc_r=None,
+                          ex_G=None, ex_h=None, **kw):
     """One box-constrained SCP subproblem via the stage-structured IPM.
 
     Batched over the leading particle axis; bounds (M, N, udim) with the
@@ -919,10 +1031,23 @@ def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
     if u_soc_r is not None:
         r = jnp.broadcast_to(jnp.asarray(u_soc_r, dtype), (M, N))
         soc_kw = dict(soc_rc=r[0, :Nc], soc_rf=r[:, Nc:])
+    ex_kw = {}
+    if ex_h is not None:
+        # split the full-layout rows [u_cons; u_free_1..M; x_1..M] into the
+        # core's (theta, u_free, state) blocks; the state block keeps the
+        # ORIGINAL xdim (slew augmentation's control-memory tail is not a
+        # user-visible variable)
+        l = ex_h.shape[0]
+        nfu_ = (N - Nc) * udim
+        Gc_raw = ex_G[:, :nc]
+        ex_Gc = jnp.zeros((l, nct), dtype).at[:, :nc].set(Gc_raw)
+        ex_Gf = ex_G[:, nc:nc + M * nfu_].reshape(l, M, nfu_)
+        ex_Gx = ex_G[:, nc + M * nfu_:].reshape(l, M, N, xdim)
+        ex_kw = dict(ex_Gc=ex_Gc, ex_Gf=ex_Gf, ex_Gx=ex_Gx, ex_h=ex_h)
     theta, uf, stats = riccati_ipm_core(
         x0s, c, A, B, Qt, xt, Rt, ut,
         lo_c, hi_c, ul[:, nc:], uu[:, nc:], Nc=Nc,
-        x_lo=x_l, x_hi=x_u, **soc_kw, **kw)
+        x_lo=x_l, x_hi=x_u, **soc_kw, **ex_kw, **kw)
     _, _, _, maskc = _selectors(N, Nc, udim, dtype)
     X, U = recover_XU_stage(theta, uf, x0s, c, A, B, Nc, maskc)
     return X[..., :xdim], U, dict(stats, theta=theta, uf=uf)
