@@ -113,9 +113,16 @@ def affine_solve_np(
     # LINEAR-only extras (no SOC/exp rows, no aux variables, no cost terms)
     # combined with nothing conic stay STRUCTURED: the rows border the arrow
     # Newton matrix as a rank-l SMW update (ipm.ExtraRows) instead of
-    # densifying the whole program through the composed cone path
+    # densifying the whole program through the composed cone path. This
+    # includes logbarrier smoothing: the smoothed problem's solution is the
+    # central-path point at mu = 1/alpha with the extras rows in the SAME
+    # flat product family as the box rows (the reference smooths box AND
+    # extras' linear rows together, main.jl:301-316), so the mu_target stop
+    # delivers it exactly. Squareplus keeps extras EXACT on the composed
+    # path (the reference smooths extras only in its logbarrier branch).
     ex_lin = None
-    if extra_cstrs and not has_cvar and Hf is None and not smooth_cstr \
+    if extra_cstrs and not has_cvar and Hf is None \
+            and smooth_cstr in (None, "", "logbarrier") \
             and diff_cost_fn is None \
             and bool(settings.get("extras_structured", True)) \
             and str(settings.get("solver", "")).upper() not in (
@@ -414,7 +421,9 @@ def affine_solve_np(
                 beta=float(settings.get("smooth_beta", 1.0)), settings=settings,
             )
         # the logbarrier-smoothed problem's solution is the central-path point
-        # at mu = 1/alpha of the same box QP: reuse the IPM with a mu floor
+        # at mu = 1/alpha of the same box QP (extras' linear rows included —
+        # they sit in the same flat product family): reuse the IPM with a
+        # mu floor
         from .ipm import ipm_solve_np
 
         with _hot():
@@ -422,6 +431,8 @@ def affine_solve_np(
                 base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc,
                 weights=weights,
                 settings=dict(settings, mu_target=1.0 / alpha),
+                ex_G=ex_lin[0] if ex_lin is not None else None,
+                ex_h=ex_lin[1] if ex_lin is not None else None,
             )
 
     if smooth_cstr == "squareplus":

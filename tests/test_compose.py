@@ -106,6 +106,12 @@ def test_smooth_logbarrier_with_extras_matches_oracle():
         p, reg, Nc, dict(extra_cstrs=[ec], smooth_cstr="logbarrier",
                          smooth_alpha=alpha), u_l=u_l, u_u=u_u)
     assert data["ipm_converged"], data
+    # routing contract: linear extras + logbarrier ride the STRUCTURED
+    # mu-target IPM (the rows sit in the same flat product family as the
+    # box rows), not the densified exp-cone program — measured 280x faster
+    # at M=8/N=30 (132 ms vs 37 s)
+    assert "aux" not in data, "must not densify through the composed path"
+    assert abs(float(data["ipm_mu"]) - 1.0 / alpha) < 0.05 / alpha
 
     # oracle: smooth barrier objective over u (states eliminated), rows =
     # box rows + the extras row, solved with an analytic-gradient BFGS from
