@@ -112,6 +112,7 @@ def build_scp_solver(
     adaptive_tol: bool = True,
     adaptive_cap: float = 3e-2,
     ipm_gondzio: int = 0,
+    ipm_predictor: bool = True,
     ipm_tau: Optional[float] = None,
     has_u_soc: bool = False,
     method: str = "condensed",
@@ -328,6 +329,7 @@ def build_scp_solver(
                     tau=ipm_tau,
                     socs=socs, has_soc=has_u_soc,
                     gondzio=ipm_gondzio,
+                    predictor=ipm_predictor,
                 )
                 if warm_start:
                     warm_new = (uc, uf, stats["s"], stats["lam"])

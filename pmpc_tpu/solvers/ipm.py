@@ -128,7 +128,7 @@ def box_weighted_K(cqp: CondensedQP, wc, wf, wx, Ftc, Ftf, has_u: bool, has_x: b
 @partial(jax.jit, static_argnames=("has_u", "has_x", "has_soc", "has_ex",
                                    "iters", "tol_exp",
                                    "kappa", "mu_target", "tau", "diagnostics",
-                                   "gondzio"))
+                                   "gondzio", "predictor"))
 @with_matmul_precision("high")
 def ipm_core(
     cqp: CondensedQP,
@@ -148,6 +148,7 @@ def ipm_core(
     gondzio: int = 0,
     ex: Optional[ExtraRows] = None,
     has_ex: bool = False,
+    predictor: bool = True,
 ):
     """Run the predictor-corrector IPM. Returns (uc, uf, stats dict of arrays).
 
@@ -530,7 +531,30 @@ def ipm_core(
                 tot = tot + jnp.sum(rmaskf * jnp.sum(sq_ * zq_, axis=-1))
             return tot / n_act
 
-        if mehrotra:
+        if mehrotra and not predictor:
+            # single-solve mode (``predictor=False``): skip the affine probe
+            # and pick the centering parameter from the LOQO distance-to-
+            # centrality heuristic (xi = min complementarity product / mu).
+            # One factor + ONE arrow solve per iteration instead of two
+            # solves — for the latency-bound flagship regime (see
+            # benchmarks/roofline_headline_out.txt) the per-iteration op
+            # chain is the binding resource, so trading Mehrotra's iteration
+            # savings for a shorter chain is a measurable A/B
+            # (benchmarks/ab_single_solve.py).
+            prods = jnp.where(mask, s * lam, jnp.inf)
+            xi_min = jnp.min(prods) if mtot else mu
+            if has_soc:
+                prod_q = jnp.sum(sq * zq, axis=-1)
+                xi_min = jnp.minimum(
+                    xi_min, jnp.min(jnp.where(rmaskf > 0, prod_q, jnp.inf)))
+            xi = jnp.clip(xi_min / jnp.maximum(mu, 1e-30), 1e-6, 1.0)
+            sigma = 0.1 * jnp.minimum(0.05 * (1.0 - xi) / xi, 2.0) ** 3
+            sigma = jnp.clip(sigma, 0.05, 0.8)
+            sig_mu = jnp.maximum(sigma * mu, mu_target)
+            r_c = jnp.where(mask, s * lam - sig_mu, 0.0)
+            dq_c = (jax.vmap(_soc_prod)(lamq, lamq) - sig_mu * e_soc) \
+                if has_soc else None
+        elif mehrotra:
             # predictor (affine) step
             r_c_aff = jnp.where(mask, s * lam, 0.0)
             dq_aff = jax.vmap(_soc_prod)(lamq, lamq) if has_soc else None

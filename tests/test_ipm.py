@@ -116,3 +116,46 @@ def test_ipm_inactive_bounds_match_eq():
         u_l=None, u_u=None, x_l=None, x_u=None, Nc=0, settings={},
     )
     np.testing.assert_allclose(U_b, U_e, atol=1e-5)
+
+
+def test_ipm_single_solve_mode_matches_mehrotra():
+    """``ipm_core(predictor=False)`` — the LOQO heuristic-sigma single-solve
+    mode (a measured flagship negative, benchmarks/ab_single_solve.py, but a
+    supported option) must still reach the Mehrotra solution on a box QP."""
+    import jax.numpy as jnp
+
+    from pmpc_tpu.solvers.ipm import BoxBounds, ipm_core
+    from pmpc_tpu.solvers.reduced import assemble_condensed
+
+    rng = np.random.default_rng(33)
+    M, N, xdim, udim = 2, 8, 3, 2
+    Nc = 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    cqp = assemble_condensed(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)), Nc=Nc,
+    )
+    nc = Nc * udim
+    NX = N * xdim
+    lo = np.full((M, N * udim), -0.5)
+    hi = np.full((M, N * udim), 0.5)
+    bounds = BoxBounds(
+        lo_c=jnp.asarray(lo[0, :nc]), hi_c=jnp.asarray(hi[0, :nc]),
+        lo_f=jnp.asarray(lo[:, nc:]), hi_f=jnp.asarray(hi[:, nc:]),
+        lo_x=jnp.full((M, NX), -jnp.inf), hi_x=jnp.full((M, NX), jnp.inf),
+    )
+    sols = {}
+    for pred in (True, False):
+        uc, uf, stats = ipm_core(cqp, bounds, has_u=True, has_x=False,
+                                 iters=80, tol_exp=-9, predictor=pred)
+        assert bool(stats["converged"]), f"predictor={pred} did not converge"
+        sols[pred] = (np.asarray(uc), np.asarray(uf), int(stats["iters"]))
+    np.testing.assert_allclose(sols[False][0], sols[True][0], atol=1e-5)
+    np.testing.assert_allclose(sols[False][1], sols[True][1], atol=1e-5)
+    # the mode trades solves-per-iteration for iterations: it must take MORE
+    # iterations than Mehrotra (this pins that the flag actually switches the
+    # step computation rather than silently running the predictor path)
+    assert sols[False][2] > sols[True][2]
