@@ -5,8 +5,8 @@ control constraints, Nc=5 consensus horizon, f32. A batch of B scenarios is
 solved in one fused vmapped program.
 
 Headline metric (round 4): a "solve" counts ONLY when the SCP residual
-reaches <= 1e-3 (the f32 accuracy envelope measured in
-benchmarks/accuracy_envelope*; the reference defines a solve by
+reaches <= 1e-3 (the f32 accuracy envelope mapped by
+benchmarks/accuracy_probe.py and accuracy_sweep.py; the reference defines a solve by
 ``max_res < res_tol``, scp_mpc.py:424, not by an iteration budget).  The
 solver runs with device-loop Anderson acceleration and an early-exit
 while_loop capped at ``max_it`` — an adaptive budget, not a fixed pass
