@@ -1,8 +1,17 @@
-"""BASELINE.json measurement configs 1-5: throughput + correctness signals.
+"""BASELINE.json measurement configs 1-5: CONVERGED throughput + correctness.
 
-Prints one JSON line per config. Config 5 (pod-scale 4096 scenarios x M=64) is
-run at a reduced scenario count on a single chip (the full config is a
-multi-host job); the per-chip number extrapolates linearly over the batch axis.
+Round-5 convention (same as the flagship headline in bench.py): a "solve"
+counts ONLY when the SCP residual reaches <= RES_TOL (the f32 accuracy
+envelope; the reference defines a solve by ``max_res < res_tol``,
+pmpc/scp_mpc.py:424, not by an iteration budget). Every config runs an
+early-exit while_loop under a max_it cap and reports
+``{converged_solves_per_s, converged_frac, resid_median, iters_median}``;
+the fixed-budget ``B*reps/dt`` pass rate of rounds <=4 is gone.
+
+Prints one JSON line per config. Config 5 (pod-scale 4096 scenarios x M=64)
+is run at a reduced scenario count on a single chip (the full config is a
+multi-host job); the per-chip number extrapolates linearly over the batch
+axis.
 """
 
 import json
@@ -13,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+RES_TOL = 1e-3   # the accuracy envelope a counted solve must reach
+MAX_IT = 25      # early-exit cap (headline convention, bench.py)
 
 
 def bench_solver(solver, data, B, reps=3):
@@ -32,7 +44,15 @@ def bench_solver(solver, data, B, reps=3):
         X, U, info = batched(stack)
     _ = float(U.sum())
     dt = time.perf_counter() - t0
-    return B * reps / dt, np.asarray(U), np.asarray(info["resid"])
+    conv = np.asarray(info["converged"])
+    resid = np.asarray(info["resid"], np.float64)
+    iters = np.asarray(info["iters"])
+    stats = dict(
+        converged_frac=round(float(conv.mean()), 4),
+        resid_median=float(np.median(resid)),
+        iters_median=float(np.median(iters)),
+    )
+    return conv.sum() * reps / dt, np.asarray(U), stats
 
 
 def main():
@@ -45,10 +65,13 @@ def main():
     f32 = np.float32
     out = []
 
-    def report(name, sps, extra):
-        line = dict(config=name, solves_per_s=round(sps, 1), **extra)
+    def report(name, sps, stats, extra=None):
+        line = dict(config=name, converged_solves_per_s=round(sps, 1),
+                    **stats, **(extra or {}))
         print(json.dumps(line), flush=True)
         out.append(line)
+
+    kw = dict(max_it=MAX_IT, res_tol=RES_TOL, accel="AA", jit=False)
 
     # 1: Dubins single-system quadratic MPC, N=20
     N, xdim, udim = 20, 4, 2
@@ -56,10 +79,9 @@ def main():
                        np.tile(np.eye(xdim, dtype=f32), (1, N, 1, 1)),
                        np.tile((1e-2 * np.eye(udim)).astype(f32), (1, N, 1, 1)),
                        reg_x=1.0, reg_u=0.1)
-    s1 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
-                          max_it=10, res_tol=1e-5, jit=False)
-    sps, U, resid = bench_solver(s1, d1, B=512)
-    report("1_dubins_single_N20", sps, dict(median_resid=float(np.median(resid))))
+    s1 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=1, Nc=0, **kw)
+    sps, U, stats = bench_solver(s1, d1, B=512)
+    report("1_dubins_single_N20", sps, stats)
 
     # 2: particle consensus M=10, shared first control (Nc=1)
     M, N = 10, 20
@@ -68,11 +90,10 @@ def main():
                        np.tile(np.eye(xdim, dtype=f32), (M, N, 1, 1)),
                        np.tile((1e-2 * np.eye(udim)).astype(f32), (M, N, 1, 1)),
                        reg_x=1.0, reg_u=0.1)
-    s2 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=M, Nc=1,
-                          max_it=10, res_tol=1e-5, jit=False)
-    sps, U, resid = bench_solver(s2, d2, B=128)
+    s2 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=M, Nc=1, **kw)
+    sps, U, stats = bench_solver(s2, d2, B=128)
     spread = float(np.ptp(U[:, :, :1, :], axis=1).max())
-    report("2_consensus_M10_Nc1", sps, dict(consensus_spread=spread))
+    report("2_consensus_M10_Nc1", sps, stats, dict(consensus_spread=spread))
 
     # 3: linear (box) + second-order-cone constrained MPC: per-coordinate box
     # bounds AND a per-stage thrust cone ||u_j|| <= 0.9, both exact, both on
@@ -85,10 +106,9 @@ def main():
                        u_l=-np.ones((1, N, udim), f32), u_u=np.ones((1, N, udim), f32),
                        u_soc_r=np.full((1, N), soc_r, f32))
     s3 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
-                          max_it=10, res_tol=1e-5, has_u_bounds=True,
-                          has_u_soc=True, jit=False)
-    sps, U, resid = bench_solver(s3, d3, B=512)
-    report("3_box_plus_soc_constrained", sps,
+                          has_u_bounds=True, has_u_soc=True, **kw)
+    sps, U, stats = bench_solver(s3, d3, B=512)
+    report("3_box_plus_soc_constrained", sps, stats,
            dict(u_max=float(np.abs(U).max()),
                 u_norm_max=float(np.linalg.norm(U, axis=-1).max()), soc_r=soc_r))
 
@@ -105,9 +125,9 @@ def main():
         return cx, None
 
     s4 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
-                          max_it=12, res_tol=1e-5, lin_cost_fn=lin_cost_fn, jit=False)
-    sps, U, resid = bench_solver(s4, d1, B=512)
-    report("4_obstacle_lin_cost", sps, dict(median_resid=float(np.median(resid))))
+                          lin_cost_fn=lin_cost_fn, **kw)
+    sps, U, stats = bench_solver(s4, d1, B=512)
+    report("4_obstacle_lin_cost", sps, stats)
 
     # 5: pod-scale shape (M=64, N=50, Nc=5, bounded) at reduced B on one chip
     M, N = 64, 50
@@ -117,11 +137,10 @@ def main():
                        reg_x=1.0, reg_u=0.1,
                        u_l=-np.ones((M, N, udim), f32), u_u=np.ones((M, N, udim), f32))
     s5 = build_scp_solver(_dubins, N=N, xdim=xdim, udim=udim, M=M, Nc=5,
-                          max_it=8, res_tol=1e-5, has_u_bounds=True,
-                          ipm_iters=15, jit=False)
-    B5 = int(os.environ.get("PMPC_CFG5_B", "32"))  # sweep: 8->74, 16->71, 32->80, 64->68 solves/s
-    sps, U, resid = bench_solver(s5, d5, B=B5, reps=2)
-    report("5_podscale_M64_N50_per_chip", sps,
+                          has_u_bounds=True, ipm_iters=8, **kw)
+    B5 = int(os.environ.get("PMPC_CFG5_B", "32"))
+    sps, U, stats = bench_solver(s5, d5, B=B5, reps=2)
+    report("5_podscale_M64_N50_per_chip", sps, stats,
            dict(B_per_chip=B5, note="full 4096-scenario config is a multi-host job"))
 
 

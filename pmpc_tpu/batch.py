@@ -120,11 +120,15 @@ def _solve_problems_fused(problems, split):
             "with pmpc_tpu.make_f_fx_fu_fn(step_fn)")
     ss = dict(p0.get("solver_settings") or {})
     cone_features = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
-                                 "k", "Hf") if ss.get(k) is not None]
+                                 "k", "Hf", "weights")
+                     if ss.get(k) is not None]
     if cone_features:
         # cone-program features cannot ride the structured box-IPM loop:
         # route to the scenario-batched cone driver (one vmapped condensed
-        # assembly + cone IPM device call per SCP iteration)
+        # assembly + cone IPM device call per SCP iteration). Particle
+        # weights also route there: the stacked single-particle fused solver
+        # has no per-particle cost scaling, while the cone driver pre-scales
+        # each problem's cost arrays (scale_probs_cost! parity).
         from .conebatch import solve_problems_cone
 
         return solve_problems_cone(problems, split=split)
@@ -232,7 +236,8 @@ def solve_problems(
     if fused:
         ss0 = dict(problems[0].get("solver_settings") or {})
         if any(ss0.get(k) is not None for k in
-               ("smooth_cstr", "smooth_alpha", "extra_cstrs", "k", "Hf")):
+               ("smooth_cstr", "smooth_alpha", "extra_cstrs", "k", "Hf",
+                "weights")):
             # cone-featured problems: their own batcher (multi-particle and
             # consensus Nc allowed there; extras may differ numerically, so
             # only require matching SHAPES/settings-keys — the cone driver

@@ -300,9 +300,6 @@ def solve_problems_cone(
     # logbarrier smoothing generates exponential cones; those signatures
     # vmap the device central-path barrier driver (expbarrier) instead of
     # the NT cone IPM — see composed_solve_batch_device
-    if ss0.get("weights") is not None:
-        raise ValueError("batched cone solves do not support weights yet")
-
     B = len(problems)
     cps = [_canon_problem(p) for p in problems]
     M, N, xdim, udim = cps[0]["M"], cps[0]["N"], cps[0]["xdim"], cps[0]["udim"]
@@ -326,6 +323,28 @@ def solve_problems_cone(
                  "slew_um1")}
     for k in ("reg_x", "reg_u", "slew_reg", "slew_reg0"):
         probs_np[k] = np.stack([np.full((M,), cp[k]) for cp in cps])
+
+    # particle weights: pre-scale each problem's cost terms exactly like the
+    # serial path's scale_probs_cost! parity (dispatch.py CVaR branch /
+    # assemble_condensed weights=..., main.jl:96-112) — both batched routes
+    # then see an unweighted problem with weighted costs. Values may differ
+    # per problem; presence must be homogeneous (it changes the numerics of
+    # every cost array).
+    w_list = [(p.get("solver_settings") or {}).get("weights")
+              for p in problems]
+    if any(w is not None for w in w_list):
+        if not all(w is not None for w in w_list):
+            raise ValueError(
+                "weights present in only some problems of the batch")
+        W = np.stack([np.asarray(w, dtype=float).reshape(M)
+                      for w in w_list])  # (B, M)
+        W = W / W.sum(axis=1, keepdims=True)
+        probs_np["Q"] = probs_np["Q"] * W[:, :, None, None, None]
+        probs_np["R"] = probs_np["R"] * W[:, :, None, None, None]
+        for k in ("reg_x", "reg_u", "slew_reg", "slew_reg0"):
+            probs_np[k] = probs_np[k] * W
+        if bool(ss0.get("weights_scale_slew_target", True)):
+            probs_np["slew_um1"] = probs_np["slew_um1"] * W[:, :, None]
     bounds_np = {k: stack(k) for k in ("u_l", "u_u", "x_l", "x_u")}
     bounds_np = {k: v for k, v in bounds_np.items() if v is not None}
 
@@ -381,11 +400,36 @@ def solve_problems_cone(
     lin_only = all(q == () and e == 0 and na == 0 for (_, q, e, na) in sig)
     c_left_zero = all(np.all(arrs[i][3] == 0.0)
                       for arrs in arrays for i in range(len(sig)))
-    struct_ok = (not has_cvar and not smooth and not extras_q_np
-                 and lin_only and c_left_zero
-                 and ss0.get("mu_target") is None
-                 and bool(ss0.get("extras_structured", True))
-                 and "cone_dtype" not in ss0 and "cone_device" not in ss0)
+    struct_base = (not has_cvar and not smooth and not extras_q_np
+                   and c_left_zero
+                   and ss0.get("mu_target") is None
+                   and bool(ss0.get("extras_structured", True))
+                   and "cone_dtype" not in ss0 and "cone_device" not in ss0)
+    struct_ok = struct_base and lin_only
+    if struct_base and not lin_only:
+        # per-stage control-norm SOC extras -> u_soc_r cones on the
+        # structured route (same detection as the serial dispatch,
+        # extras.split_stage_u_cones); every problem's blocks must match
+        from .solvers.extras import split_stage_u_cones
+
+        dets = [split_stage_u_cones(sig, arrays[b], M, N, Nc, udim)
+                for b in range(B)]
+        if all(d is not None for d in dets):
+            r_stack = np.stack([d[0] for d in dets])  # (B, M, N)
+            prev = bounds_np.get("u_soc_r")
+            if prev is not None:
+                r_stack = np.minimum(prev, r_stack)
+            bounds_np["u_soc_r"] = r_stack
+            ltot = dets[0][1].shape[0]
+            if ltot:
+                n_cols = dets[0][1].shape[1]
+                sig = ((ltot, (), 0, 0),)
+                arrays = tuple(
+                    (d[1], np.zeros((ltot, 0)), d[2], np.zeros(n_cols),
+                     np.zeros(0)) for d in dets)
+            else:
+                sig, arrays = (), tuple(() for _ in range(B))
+            struct_ok = True
     if struct_ok:
         X_np, U_np, resid_b, failed_b, iters_used, t_aff = \
             _run_struct_batched(

@@ -78,13 +78,20 @@ def condense(x0, f, fx, fu, X_prev, U_prev, unroll: int = 1) -> Tuple[jax.Array,
     ``(xdim, N*udim)`` sensitivity row (each step: one small matmul + one
     dynamic-slice insert), so XLA sees only dense matmul-shaped work.
 
+    Accepts arbitrary leading batch dims (f: (..., N, xdim) etc.) — the scan
+    carries the whole batch, so callers with explicit batch axes get direct
+    batched HLO instead of paying the vmap batching transform (round-5
+    profile: the vmap-transformed assembly ran 5x slower than the same math
+    written over explicit batch axes, benchmarks/profile_assemble_out.txt).
+
     Returns:
-        Ft: (N*xdim, N*udim)
-        ft: (N*xdim,)
+        Ft: (..., N*xdim, N*udim)
+        ft: (..., N*xdim)
     """
-    N, xdim = f.shape
+    N, xdim = f.shape[-2:]
     udim = fu.shape[-1]
-    xlin = jnp.concatenate([x0[None, :], X_prev[:-1]], axis=0)
+    batch = f.shape[:-2]
+    xlin = jnp.concatenate([x0[..., None, :], X_prev[..., :-1, :]], axis=-2)
 
     # one-hot block placement e_j (x) fu_j, built OUTSIDE the scan: an in-body
     # dynamic_update_slice copies the whole (xdim, N*udim) carry every step
@@ -92,21 +99,26 @@ def condense(x0, f, fx, fu, X_prev, U_prev, unroll: int = 1) -> Tuple[jax.Array,
     # a single fused matmul+add. Built by broadcast-masking, NOT scatter —
     # vmapped scatters compile pathologically slowly on TPU.
     onehot = jnp.eye(N, dtype=f.dtype)  # (N, N)
-    E = onehot[:, None, :, None] * fu[:, :, None, :]  # (N, xdim, N, udim)
-    E = E.reshape(N, xdim, N * udim)
+    E = onehot[:, None, :, None] * fu[..., :, :, None, :]  # (..., N, xdim, N, udim)
+    E = E.reshape(batch + (N, xdim, N * udim))
+
+    nb = len(batch)
+    mv = lambda a: jnp.moveaxis(a, nb, 0) if nb else a  # N axis to front
 
     def step(carry, inp):
         row_prev, x_prev = carry
         f_j, fx_j, E_j, xlin_j = inp
         # sensitivity row: d x_j / d vec(U) = fx_j @ row_{j-1} + e_j (x) fu_j
         row = fx_j @ row_prev + E_j
-        x_next = f_j + fx_j @ (x_prev - xlin_j)
+        x_next = f_j + jnp.einsum("...ij,...j->...i", fx_j, x_prev - xlin_j)
         return (row, x_next), (row, x_next)
 
-    init = (jnp.zeros((xdim, N * udim), dtype=f.dtype), x0)
-    _, (rows, xs) = lax.scan(step, init, (f, fx, E, xlin), unroll=unroll)
-    Ft = rows.reshape(N * xdim, N * udim)
-    ft = xs.reshape(N * xdim)
+    init = (jnp.zeros(batch + (xdim, N * udim), dtype=f.dtype), x0)
+    _, (rows, xs) = lax.scan(
+        step, init, (mv(f), mv(fx), mv(E), mv(xlin)), unroll=unroll)
+    # rows: (N, ..., xdim, NU) -> (..., N*xdim, NU); xs likewise
+    Ft = jnp.moveaxis(rows, 0, nb).reshape(batch + (N * xdim, N * udim))
+    ft = jnp.moveaxis(xs, 0, nb).reshape(batch + (N * xdim,))
     return Ft, ft
 
 

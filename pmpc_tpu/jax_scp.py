@@ -163,6 +163,13 @@ def build_scp_solver(
         raise NotImplementedError(
             "method='priccati' does not support state boxes or SOC cones; "
             "use method='riccati'")
+    if not ipm_predictor and method != "condensed":
+        # the single-solve (LOQO-sigma) mode only exists in the condensed
+        # arrow IPM; the riccati stage-structured IPM always runs Mehrotra —
+        # silently ignoring the flag would misreport the A/B being requested
+        raise ValueError(
+            "ipm_predictor=False is only supported with method='condensed' "
+            "(the riccati IPM has no single-solve mode)")
 
     def linearize_particles(data: SCPData, X_prev, U_prev):
         X_ = jnp.concatenate([data.x0[:, None, :], X_prev[:, :-1, :]], axis=1)

@@ -121,6 +121,7 @@ def affine_solve_np(
     # delivers it exactly. Squareplus keeps extras EXACT on the composed
     # path (the reference smooths extras only in its logbarrier branch).
     ex_lin = None
+    ex_consumed = False  # every extras row absorbed by a structured path
     if extra_cstrs and not has_cvar and Hf is None \
             and smooth_cstr in (None, "", "logbarrier") \
             and diff_cost_fn is None \
@@ -142,13 +143,37 @@ def affine_solve_np(
                 and all(np.all(np.asarray(a[3]) == 0.0) for a in arr_ex):
             ex_lin = (np.concatenate([a[0] for a in arr_ex], axis=0),
                       np.concatenate([a[2] for a in arr_ex]))
+            ex_consumed = True
+        elif sig_ex is not None and smooth_cstr in (None, ""):
+            # SOC blocks that are per-stage control-norm cones (the natural
+            # extra_cstrs encoding of thrust cones) + linear rows: convert
+            # the cones to u_soc_r and keep the structured arrow IPM —
+            # 10-50x cheaper than the dense composed program (round-5
+            # profile: 24 ms/IPM-iteration composed vs sub-ms structured,
+            # benchmarks/profile_serial_cone_out.txt). Gated off under
+            # smoothing (the reference smooths box+extras rows together on
+            # that path, main.jl:301-316 — semantics differ).
+            from .extras import split_stage_u_cones
+
+            Nc_eff = Nc if Nc >= 0 else N
+            det = split_stage_u_cones(sig_ex, arr_ex, M, N, Nc_eff, udim_)
+            if det is not None:
+                r_det, lg, lh = det
+                if u_soc_r is not None:
+                    r_det = np.minimum(
+                        np.broadcast_to(np.asarray(u_soc_r, float), (M, N)),
+                        r_det)
+                u_soc_r = r_det
+                settings = dict(settings, u_soc_r=r_det)
+                ex_lin = (lg, lh) if lg.shape[0] else None
+                ex_consumed = True
 
     # the composed dense cone program handles every combination the
     # reference's lcone_solve builds in one conic program (main.jl:204-317):
     # k-worst epigraph, extras, Hf, smoothing of box + extras' linear rows,
     # and per-stage control-norm cones (u_soc_r alone stays on the fast
     # structured IPM; composed with smoothing/extras it joins this program)
-    needs_compose = (has_cvar or (bool(extra_cstrs) and ex_lin is None)
+    needs_compose = (has_cvar or (bool(extra_cstrs) and not ex_consumed)
                      or Hf is not None
                      or (u_soc_r is not None
                          and smooth_cstr in ("logbarrier", "squareplus")))
@@ -322,10 +347,10 @@ def affine_solve_np(
         # path. Override with settings["method"] either way.
         auto_N = int(settings.get("riccati_auto_N", 240))
         eligible = (
-            # LINEAR-only extras border the Riccati Newton system (ex_lin
-            # was canonicalized above); SOC/exp/aux extras need the
-            # condensed cone machinery
-            (not extra_cstrs or ex_lin is not None)
+            # LINEAR-only extras border the Riccati Newton system; stage
+            # control-norm SOC extras became u_soc_r cones (both ex_consumed
+            # above); other SOC/exp/aux extras need the condensed machinery
+            (not extra_cstrs or ex_consumed)
             # logbarrier smoothing = central-path stop (mu_target), which
             # the stage-structured IPM carries; squareplus needs the smooth
             # Newton path
@@ -363,7 +388,7 @@ def affine_solve_np(
         # logbarrier smoothing (central-path stop): the stage-structured
         # Mehrotra IPM (riccati_ipm); extras and squareplus smoothing need
         # the condensed machinery
-        if (extra_cstrs and ex_lin is None) \
+        if (extra_cstrs and not ex_consumed) \
                 or (smooth_cstr and smooth_cstr != "logbarrier"):
             raise NotImplementedError(
                 "method='riccati' supports box bounds, u_soc_r cones, "

@@ -138,3 +138,91 @@ def _solve_exp_host(H, q, Gl, hl, soc_blocks, exp_blocks):
         options=dict(maxiter=5000, gtol=1e-10, xtol=1e-12))
     # status 1 (gtol) / 2 (xtol) are converged; 0 (maxiter) / 3 are not
     return res.x, res.status in (1, 2) and np.isfinite(res.x).all()
+
+
+def split_stage_u_cones(sig, arrays, M, N, Nc, udim):
+    """Recognize extras SOC blocks as per-stage control-norm cones.
+
+    A user writing thrust cones through the ``extra_cstrs`` interface
+    produces, per (particle, stage), the block ``s = h - Gv in SOC`` with
+    ``h = [r; 0..]`` and ``G`` rows 1..udim carrying ``c*I`` on one stage's
+    contiguous control slice (``||c u_ij|| <= r``). Those are exactly the
+    ``u_soc_r`` cones the structured arrow IPM (`ipm.SocSpec`) and the
+    riccati IPM solve natively — 10-50x cheaper than densifying the whole
+    program through the composed cone path (the round-4 composed route ran
+    245 such cones at ~24 ms/IPM-iteration on an nv=490 dense program,
+    benchmarks/profile_serial_cone_out.txt). Runs on the host EVERY SCP
+    iteration (extras may come from per-iteration callbacks), so the block
+    checks are vectorized over all cones of a tuple at once.
+
+    Returns ``(r_arr (M, N) with +inf where no cone, lin_G (l, n_full),
+    lin_h (l,))`` when EVERY SOC block across the tuples matches the pattern
+    and nothing else is conic (no exp rows, no aux variables, no cost
+    terms); ``None`` otherwise (caller keeps the composed path). Consensus
+    -stage cones (slice inside ``u_cons``) apply to the shared control: the
+    radius is recorded for every particle row (the cone layout takes
+    particle 0, ``lqp_utils.jl:323-331`` convention).
+    """
+    nc, nf = Nc * udim, (N - Nc) * udim
+    r_arr = np.full((M, N), np.inf)
+    lin_G, lin_h = [], []
+    any_cone = False
+    n_cols = None
+    for (l, qsizes, e, na), (G_l, G_r, h, c_l, c_r) in zip(sig, arrays):
+        if e or na:
+            return None
+        if np.any(np.asarray(c_l) != 0.0):
+            return None
+        if np.asarray(c_r).size and np.any(np.asarray(c_r) != 0.0):
+            return None
+        G_l = np.asarray(G_l, float)
+        h = np.asarray(h, float)
+        n_cols = G_l.shape[1]
+        if l:
+            lin_G.append(G_l[:l])
+            lin_h.append(h[:l])
+        if not qsizes:
+            continue
+        p = udim + 1
+        if any(s != p for s in qsizes):
+            return None
+        c = len(qsizes)
+        Gq = G_l[l:l + c * p].reshape(c, p, n_cols)
+        hq = h[l:l + c * p].reshape(c, p)
+        if np.any(Gq[:, 0, :] != 0.0) or np.any(hq[:, 1:] != 0.0):
+            return None
+        body = Gq[:, 1:, :]  # (c, udim, n_cols)
+        nzmask = body != 0.0
+        if not np.all(nzmask.sum(axis=2) == 1):
+            return None
+        cols = nzmask.argmax(axis=2)  # (c, udim)
+        starts = cols[:, 0]
+        if not np.array_equal(cols, starts[:, None] + np.arange(udim)):
+            return None
+        vals = np.take_along_axis(body, cols[..., None], axis=2)[..., 0]
+        c0 = vals[:, 0]
+        if np.any(c0 == 0.0) or not np.allclose(vals, c0[:, None]):
+            return None
+        r = hq[:, 0] / np.abs(c0)
+        if not np.all(np.isfinite(r) & (r > 0)):
+            return None
+        cons = starts < nc
+        if np.any(starts[cons] % udim):
+            return None
+        s2 = starts[~cons] - nc
+        if np.any(s2 >= M * nf) or np.any((s2 % nf) % udim):
+            return None
+        for st, rr in zip(starts[cons], r[cons]):
+            j = int(st // udim)
+            r_arr[:, j] = np.minimum(r_arr[:, j], rr)
+        i_f, rem = np.divmod(s2, nf)
+        j_f = Nc + rem // udim
+        for ii, jj, rr in zip(i_f, j_f, r[~cons]):
+            r_arr[ii, jj] = min(r_arr[ii, jj], rr)
+        any_cone = True
+    if not any_cone:
+        return None
+    lg = np.concatenate(lin_G, axis=0) if lin_G \
+        else np.zeros((0, n_cols))
+    lh = np.concatenate(lin_h) if lin_h else np.zeros((0,))
+    return r_arr, lg, lh

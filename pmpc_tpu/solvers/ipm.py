@@ -803,11 +803,13 @@ def map_extras_rows(cqp: CondensedQP, ex_G, ex_h, nc, nf, M, NX) -> ExtraRows:
 @partial(jax.jit, static_argnames=("Nc", "scale_slew_target", "N", "has_u",
                                    "has_x", "has_soc", "has_ex", "iters",
                                    "tol_exp",
-                                   "kappa", "mu_target", "tau", "gondzio"))
+                                   "kappa", "mu_target", "tau", "gondzio",
+                                   "predictor"))
 def _host_box_solve(base_args, reg_args, bounds, socs, warm, tol_dyn,
                     weights, Nc, scale_slew_target, N, has_u, has_x,
                     has_soc, iters, tol_exp, kappa, mu_target, tau,
-                    gondzio=0, ex_G=None, ex_h=None, has_ex=False):
+                    gondzio=0, ex_G=None, ex_h=None, has_ex=False,
+                    predictor=True):
     """assemble + IPM + recover as ONE compiled program: the host loop pays
     one dispatch per subproblem instead of three (each dispatch is a ~27 ms
     round trip through a remote-TPU tunnel)."""
@@ -822,7 +824,7 @@ def _host_box_solve(base_args, reg_args, bounds, socs, warm, tol_dyn,
         cqp, bounds, has_u=has_u, has_x=has_x, iters=iters, tol_exp=tol_exp,
         kappa=kappa, mu_target=mu_target, warm=warm, tol_dynamic=tol_dyn,
         tau=tau, socs=socs, has_soc=has_soc, gondzio=gondzio,
-        ex=ex, has_ex=has_ex)
+        ex=ex, has_ex=has_ex, predictor=predictor)
     X, U = recover_XU(cqp, uc, uf, N=N)
     return X, U, uc, uf, stats
 
@@ -906,6 +908,7 @@ def ipm_solve_np(
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
              else None),
         gondzio=int(settings.get("ipm_gondzio", 0)),
+        predictor=bool(settings.get("ipm_predictor", True)),
         ex_G=jnp.asarray(np.asarray(ex_G, dtype=dtype)) if has_ex else None,
         ex_h=jnp.asarray(np.asarray(ex_h, dtype=dtype)) if has_ex else None,
         has_ex=has_ex,

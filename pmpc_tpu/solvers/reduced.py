@@ -118,31 +118,54 @@ def particle_H_q(
     slew_reg0,
     slew_um1,
 ):
-    """Reduced Hessian/linear term of ONE particle over w = vec(U) (NU = N*udim).
+    """Reduced Hessian/linear term per particle over w = vec(U) (NU = N*udim).
 
-    Returns (H (NU,NU), q (NU,), Ft, g) with x = Ft @ w + g."""
-    N, xdim = f.shape
+    Accepts arbitrary leading batch dims (f: (..., N, xdim), reg_x: (...),
+    slew_um1: (..., udim)): the whole chain is ellipsis-batched einsums, so
+    callers with explicit particle/scenario axes get direct batched HLO
+    instead of the vmap batching transform (the transformed assembly ran 5x
+    slower at headline shapes — benchmarks/profile_assemble_out.txt; the
+    per-particle ``.at[].add`` copies and per-particle ``kron`` are replaced
+    by constant masks).
+
+    Returns (H (..., NU, NU), q (..., NU), Ft, g) with x = Ft @ w + g."""
+    N, xdim = f.shape[-2:]
     udim = fu.shape[-1]
+    batch = f.shape[:-2]
     dtype = f.dtype
+    NU = N * udim
     Ft, ft = condense(x0, f, fx, fu, X_prev, U_prev)
-    w_prev = U_prev.reshape(-1)
-    g = ft - Ft @ w_prev
+    w_prev = U_prev.reshape(batch + (NU,))
+    g = ft - jnp.einsum("...ij,...j->...i", Ft, w_prev)
 
     eye_x = jnp.eye(xdim, dtype=dtype)
     eye_u = jnp.eye(udim, dtype=dtype)
-    Qt = Q + reg_x * eye_x  # (N, xdim, xdim)
-    Rt = R + reg_u * eye_u
-    xt = (jnp.einsum("nij,nj->ni", Q, X_ref) + reg_x * X_prev).reshape(-1)  # (NX,)
-    ut = (jnp.einsum("nij,nj->ni", R, U_ref) + reg_u * U_prev).reshape(-1)  # (NU,)
+    ex = lambda a: a[..., None, None, None]  # (...,) -> broadcast over (N,d,d)
+    Qt = Q + ex(reg_x) * eye_x  # (..., N, xdim, xdim)
+    Rt = R + ex(reg_u) * eye_u
+    xt = (jnp.einsum("...nij,...nj->...ni", Q, X_ref)
+          + reg_x[..., None, None] * X_prev).reshape(batch + (-1,))  # (..., NX)
+    ut = (jnp.einsum("...nij,...nj->...ni", R, U_ref)
+          + reg_u[..., None, None] * U_prev).reshape(batch + (-1,))  # (..., NU)
 
-    QtFt = _bdiag_mm(Qt, Ft)  # (NX, NU)
-    H = Ft.T @ QtFt + _block_diag(Rt)
-    S = slew_reg * jnp.kron(_slew_T(N, dtype), eye_u)
-    H = H + S
-    H = H.at[:udim, :udim].add(slew_reg0 * eye_u)
+    Ft_r = Ft.reshape(batch + (N, xdim, NU))
+    QtFt = jnp.einsum("...nij,...njk->...nik", Qt, Ft_r) \
+        .reshape(batch + (N * xdim, NU))
+    H = jnp.einsum("...ji,...jk->...ik", Ft, QtFt)
+    # blockdiag(Rt) by broadcast-masking (scatter-free, batch-agnostic)
+    onehot = jnp.eye(N, dtype=dtype)
+    D = onehot[:, None, :, None] * Rt[..., :, :, None, :]
+    H = H + D.reshape(batch + (NU, NU))
+    S = jnp.kron(_slew_T(N, dtype), eye_u)  # constant (NU, NU)
+    E00 = jnp.zeros((NU, NU), dtype).at[:udim, :udim].set(eye_u)  # constant
+    H = H + slew_reg[..., None, None] * S + slew_reg0[..., None, None] * E00
 
-    q = Ft.T @ (_bdiag_mm(Qt, g[:, None])[:, 0] - xt) - ut
-    q = q.at[:udim].add(-slew_reg0 * slew_um1)
+    Qg = jnp.einsum("...nij,...nj->...ni", Qt,
+                    g.reshape(batch + (N, xdim))).reshape(batch + (-1,))
+    q = jnp.einsum("...ji,...j->...i", Ft, Qg - xt) - ut
+    um1_pad = jnp.concatenate(
+        [slew_um1, jnp.zeros(batch + (NU - udim,), dtype)], axis=-1)
+    q = q - slew_reg0[..., None] * um1_pad
     return H, q, Ft, g
 
 
@@ -192,7 +215,10 @@ def assemble_condensed(
         if scale_slew_target:
             slew_um1 = slew_um1 * w[:, None]
 
-    H, q, Ft, g = jax.vmap(particle_H_q)(
+    # particle_H_q is batch-dim-agnostic: the M axis rides the ellipsis
+    # einsums directly (no vmap batching transform — 5x at headline shapes,
+    # benchmarks/profile_assemble_out.txt)
+    H, q, Ft, g = particle_H_q(
         x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
         reg_x, reg_u, slew_reg, slew_reg0, slew_um1,
     )

@@ -404,14 +404,16 @@ def test_linear_extras_structured_with_boxes_and_soc():
     assert d_s["ipm_converged"], d_s
     assert "aux" not in d_s
 
-    # cross-check: same program with the SOC cones expressed as SOC extras
-    # (which forces the composed path, since q-rows disable the border route)
+    # cross-check: same program with the SOC cones expressed as SOC extras,
+    # with the structured detection OFF so the dense composed path solves it
+    # (round 5's split_stage_u_cones would otherwise convert the q-rows
+    # right back to u_soc_r cones)
     from test_extras import _u_norm_socs
     ec_soc = _u_norm_socs(M, N, xdim, udim, Nc, umax)
     X_c, U_c, d_c = affine_solve_np(
         p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
         p["Q"], p["R"], p["X_ref"], p["U_ref"], **kw,
-        settings=dict(extra_cstrs=[ec, ec_soc]))
+        settings=dict(extra_cstrs=[ec, ec_soc], extras_structured=False))
     assert d_c["ipm_converged"], d_c
     assert "aux" in d_c
     np.testing.assert_allclose(U_s, U_c, atol=2e-4)
@@ -447,3 +449,85 @@ def test_linear_extras_structured_warm_start():
     assert d2["ipm_converged"]
     np.testing.assert_allclose(U1, U2, atol=1e-6)
     assert int(d2["ipm_iters"]) <= int(d1["ipm_iters"])
+
+
+def test_stage_u_cone_extras_take_structured_route():
+    """Per-stage control-norm SOC extras are detected (split_stage_u_cones)
+    and solved as u_soc_r cones on the structured arrow IPM — the composed
+    dense cone program must NOT be built. Mixed with linear rows, the rows
+    ride the SMW border; numerics match the composed route (round-5
+    serial-latency task: 24 ms/IPM-it composed vs ~1.3 ms structured,
+    benchmarks/profile_serial_cone_out.txt)."""
+    from pmpc_tpu.solvers import compose as comp
+
+    rng = np.random.default_rng(33)
+    M, N, xdim, udim, Nc = 3, 8, 3, 2, 3
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    umax = 0.55
+    ec = _u_norm_socs(M, N, xdim, udim, Nc, umax)
+    # one extra LINEAR row: sum of first-stage controls bounded
+    nc, nf = Nc * udim, (N - Nc) * udim
+    n_full = nc + M * nf + M * N * xdim
+    gl = np.zeros((1, n_full))
+    gl[0, :udim] = 1.0
+    ec_lin = (1, [], 0, gl, np.zeros((1, 0)), np.array([0.3]),
+              np.zeros(n_full), np.zeros(0))
+
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    kw = dict(reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+              slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+              slew_um1=np.zeros((M, udim)),
+              u_l=None, u_u=None, x_l=None, x_u=None, Nc=Nc)
+
+    orig = comp.composed_cone_solve
+
+    def boom(*a, **k):
+        raise AssertionError("stage u-cone extras must not densify through "
+                             "the composed cone path")
+
+    comp.composed_cone_solve = boom
+    try:
+        X, U, data = affine_solve_np(
+            *args, **kw, settings=dict(extra_cstrs=[ec, ec_lin]))
+    finally:
+        comp.composed_cone_solve = orig
+    assert data["ipm_converged"], data
+    assert np.linalg.norm(U, axis=-1).max() <= umax + 1e-6
+    assert U[:, 0, :].sum(axis=-1).max() <= 0.3 + 1e-6
+
+    # composed reference (detection off)
+    X2, U2, d2 = affine_solve_np(
+        *args, **kw,
+        settings=dict(extra_cstrs=[ec, ec_lin], extras_structured=False))
+    np.testing.assert_allclose(U, U2, atol=5e-4)
+
+
+def test_non_stage_soc_extras_stay_composed():
+    """A SOC over a STATE slice does not match the stage-control pattern:
+    detection must decline and the composed path must solve it."""
+    rng = np.random.default_rng(34)
+    M, N, xdim, udim, Nc = 2, 6, 3, 2, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    nc, nf = Nc * udim, (N - Nc) * udim
+    n_full = nc + M * nf + M * N * xdim
+    n, u_idx, x_idx = oracle.layout(N, xdim, udim, M, Nc)
+    sl = x_idx(0, N - 1)
+    G = np.zeros((1 + xdim, n_full))
+    h = np.zeros(1 + xdim)
+    h[0] = 2.0
+    for r in range(xdim):
+        G[1 + r, sl.start + r] = -1.0
+    ec = (0, [1 + xdim], 0, G, np.zeros((1 + xdim, 0)), h,
+          np.zeros(n_full), np.zeros(0))
+    X, U, data = affine_solve_np(
+        p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+        p["Q"], p["R"], p["X_ref"], p["U_ref"],
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=None, u_u=None, x_l=None, x_u=None,
+        Nc=Nc, settings=dict(extra_cstrs=[ec]))
+    assert data["ipm_converged"], data
+    xN = X[:, -1, :]
+    assert np.linalg.norm(xN, axis=-1).max() <= 2.0 + 1e-6
