@@ -54,8 +54,14 @@ def plant_step(x, u):
     ])
 
 
-def closed_loop_fused(N, T, xdim, udim):
-    """One fused device program per control step."""
+def closed_loop_fused(N, T, xdim, udim, shift_warm=True, carry_duals=True,
+                      quiet=False, **build_kw):
+    """One fused device program per control step.
+
+    ``shift_warm``/``carry_duals`` expose the two warm-start mechanisms for
+    A/B (benchmarks/ab_warmstart.py): plan shifting (X_prev/U_prev) and the
+    IPM primal/dual state carried across control steps. ``build_kw`` extends
+    the solver build (e.g. ``accel="AA"``)."""
     import jax.numpy as jnp
 
     from pmpc_tpu.jax_scp import build_scp_solver, make_scp_data
@@ -64,9 +70,10 @@ def closed_loop_fused(N, T, xdim, udim):
     # max_it well above the warm-started need: the while_loop exits early on
     # convergence, so the cap costs nothing and the iteration counts below
     # show the real warm-start effect instead of saturating the budget
+    bk = dict(max_it=3 if FAST else 15, res_tol=1e-4)
+    bk.update(build_kw)
     solver = build_scp_solver(unicycle, N=N, xdim=xdim, udim=udim, M=1, Nc=0,
-                              max_it=3 if FAST else 15, res_tol=1e-4,
-                              has_u_bounds=True, return_state=True)
+                              has_u_bounds=True, return_state=True, **bk)
     Q = np.tile(np.eye(xdim, dtype=f32), (1, N, 1, 1))
     R = np.tile((1e-2 * np.eye(udim)).astype(f32), (1, N, 1, 1))
     u_l = -np.ones((1, N, udim), f32)
@@ -89,22 +96,25 @@ def closed_loop_fused(N, T, xdim, udim):
             u_l=u_l, u_u=u_u,
         )
         X, U, info = solver(data, state)
-        state = info["solver_state"]
+        if carry_duals:
+            state = info["solver_state"]
         u = np.asarray(U[0, 0], f32)
         times.append(time.perf_counter() - t0)
         iters_log.append(int(np.asarray(info["iters"])))
         x = plant_step(x, u).astype(f32)
         errs.append(float(np.linalg.norm(x[:2] - target[:2])))
-        # warm start: shift the plan one step (repeat the tail)
-        Xs = np.asarray(X[0, 2:])  # drop x0 row and the consumed step
-        X_prev = np.concatenate([Xs, Xs[-1:]], axis=0)[None]
-        Us = np.asarray(U[0, 1:])
-        U_prev = np.concatenate([Us, Us[-1:]], axis=0)[None]
+        if shift_warm:
+            # warm start: shift the plan one step (repeat the tail)
+            Xs = np.asarray(X[0, 2:])  # drop x0 row and the consumed step
+            X_prev = np.concatenate([Xs, Xs[-1:]], axis=0)[None]
+            Us = np.asarray(U[0, 1:])
+            U_prev = np.concatenate([Us, Us[-1:]], axis=0)[None]
         u_last = u
-    print(f"  SCP iterations: cold {iters_log[0]}, warm median "
-          f"{int(np.median(iters_log[1:]))} (max_it cap "
-          f"{3 if FAST else 15})")
-    return np.array(times) * 1e3, errs
+    if not quiet:
+        print(f"  SCP iterations: cold {iters_log[0]}, warm median "
+              f"{int(np.median(iters_log[1:]))} (max_it cap "
+              f"{bk['max_it']})")
+    return np.array(times) * 1e3, errs, iters_log
 
 
 def closed_loop_host(N, T, xdim, udim):
@@ -151,7 +161,7 @@ def main():
     N = 8 if FAST else 20
     T = 4 if FAST else 30
     xdim, udim = 4, 2
-    times_ms, errs = closed_loop_fused(N, T, xdim, udim)
+    times_ms, errs, _ = closed_loop_fused(N, T, xdim, udim)
     report("closed loop (fused)", times_ms, errs, T, N)
     if not FAST:
         assert errs[-1] < errs[0], "closed loop should reduce tracking error"
