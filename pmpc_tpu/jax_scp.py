@@ -408,14 +408,47 @@ def build_scp_solver(
         return (X_out, U_out, it_out, done | now_done, resid_out, resid_m_out,
                 warm_out, acc_out), ys
 
+    def init_carry(data: SCPData, state=None):
+        """Initial SCP loop carry for `run_chunk` (continuous-batching
+        support: a converged lane's carry is re-initialized with a fresh
+        problem's data while the other lanes keep iterating)."""
+        dt = data.Q.dtype
+        warm0, acc0 = _init_warm_acc(data, state)
+        return (
+            data.X_prev, data.U_prev,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(jnp.inf, dt),
+            jnp.full((M,), jnp.inf, dt),
+            warm0, acc0,
+        )
+
     @with_matmul_precision("high")
-    def solver(data: SCPData, state=None):
-        """``state``: the IPM primal/dual/slack tuple a previous call returned
-        in ``info["solver_state"]`` (when built with ``return_state=True``) —
-        receding-horizon MPC threads it across `solve()` calls so the first
-        subproblem's IPM starts at the previous step's point instead of the
-        cold heuristic (the reference's solver_state contract,
-        ``pmpc/scp_mpc.py:366-373``)."""
+    def run_chunk(data: SCPData, carry, n_it: int = 1):
+        """Advance the SCP loop by up to ``n_it`` iterations (converged/
+        frozen lanes no-op). Building block of the lane-refill serving loop
+        (`pmpc_tpu.batch.solve_stream`): the host swaps finished problems
+        out between chunks instead of running every lane to the batch max —
+        the TPU-idiomatic analog of the farm's greedy requeue
+        (``pmpc/remote.py:391-452``)."""
+        def body(c, _):
+            return iteration(data, c, None)[0], None
+
+        carry, _ = lax.scan(body, carry, None, length=n_it)
+        return carry
+
+    def extract(data: SCPData, carry):
+        """(X_traj, U, info) from a carry (same contract as the solver)."""
+        X, U, it, done, resid, resid_m, warm_fin, acc_fin = carry
+        if accel:
+            X, U = acc_fin[3], acc_fin[4]
+        X_traj = jnp.concatenate([data.x0[:, None, :], X], axis=1)
+        info = dict(iters=it, resid=resid, converged=resid < res_tol,
+                    resid_particle=resid_m)
+        if return_state:
+            info["solver_state"] = warm_fin
+        return X_traj, U, info
+
+    def _init_warm_acc(data: SCPData, state=None):
         dt = data.Q.dtype
         if has_bounds and warm_start:
             if state is not None:
@@ -453,13 +486,17 @@ def build_scp_solver(
         if accel:
             acc0 = (jnp.zeros((AW, n_flat), dt), jnp.zeros((AW, n_flat), dt),
                     jnp.asarray(0, jnp.int32), data.X_prev, data.U_prev)
-        carry0 = (
-            data.X_prev, data.U_prev,
-            jnp.asarray(0, jnp.int32), jnp.asarray(False),
-            jnp.asarray(jnp.inf, dt),
-            jnp.full((M,), jnp.inf, dt),
-            warm0, acc0,
-        )
+        return warm0, acc0
+
+    @with_matmul_precision("high")
+    def solver(data: SCPData, state=None):
+        """``state``: the IPM primal/dual/slack tuple a previous call returned
+        in ``info["solver_state"]`` (when built with ``return_state=True``) —
+        receding-horizon MPC threads it across `solve()` calls so the first
+        subproblem's IPM starts at the previous step's point instead of the
+        cold heuristic (the reference's solver_state contract,
+        ``pmpc/scp_mpc.py:366-373``)."""
+        carry0 = init_carry(data, state)
         if collect_stats:
             (X, U, it, done, resid, resid_m, warm_fin, acc_fin), ys = lax.scan(
                 partial(iteration, data), carry0, None, length=max_it
@@ -508,4 +545,14 @@ def build_scp_solver(
             with hot_precision_scope(prec):
                 return inner(data, state)
 
-    return jax.jit(solver) if jit else solver
+    jitted = jax.jit(solver) if jit else solver
+
+    def out(data: SCPData, state=None):
+        return jitted(data, state)
+
+    # continuous-batching building blocks (unjitted — callers compose them
+    # under their own jit/vmap; see batch.solve_stream)
+    out.init_carry = init_carry
+    out.run_chunk = run_chunk
+    out.extract = extract
+    return out
