@@ -126,8 +126,14 @@ def _condense_scan(x0, f, fx, E, xlin):
     def step(carry, inp):
         row_prev, x_prev = carry
         f_j, fx_j, E_j, xlin_j = inp
-        # sensitivity row: d x_j / d vec(U) = fx_j @ row_{j-1} + e_j (x) fu_j
-        row = fx_j @ row_prev + E_j
+        # sensitivity row: d x_j / d vec(U) = fx_j @ row_{j-1} + e_j (x) fu_j.
+        # The 4x4-contraction batched matmul is MXU-hostile (tiles 32x
+        # underfilled); the broadcast-multiply-reduce form lowers to a VPU
+        # fusion in TRUE f32 — measured 0.99 vs 1.17 ms per condense at
+        # headline shapes AND more accurate than the bf16-pass dot
+        # (benchmarks/profile_condense5_out.txt).
+        row = jnp.sum(fx_j[..., :, :, None] * row_prev[..., None, :, :],
+                      axis=-2) + E_j
         x_next = f_j + jnp.einsum("...ij,...j->...i", fx_j, x_prev - xlin_j)
         return (row, x_next), (row, x_next)
 

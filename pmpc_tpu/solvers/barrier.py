@@ -380,3 +380,209 @@ def barrier_solve_np(
     X, U = recover_XU(cqp, uc, uf, N=N)
     data = dict(solver_state=settings.get("solver_state"), obj=float(stats["obj"]))
     return np.asarray(X), np.asarray(U), data
+
+
+# -- stage-structured (riccati) smooth Newton --------------------------------------
+
+
+def _riccati_consensus_raw(x0s, c, A, B, Qt, xt, Rt, ut, Nc: int):
+    """O(N) consensus LQR on RAW per-particle stage terms (leading M axis).
+
+    Same theta-sweep as `riccati.riccati_consensus_solve`, but the caller
+    supplies the stage cost terms directly — the smooth-Newton subproblem
+    modifies Qt/xt/Rt/ut per iteration (curvature/gradient of the penalty)."""
+    from functools import partial as _partial
+
+    from .riccati import _theta_backward, _theta_forward
+    from ..ops.linalg import psd_solve as _psd
+
+    S, s, gains = jax.vmap(_partial(_theta_backward, Nc=Nc))(
+        x0s, c, A, B, Qt, xt, Rt, ut)
+    S_tot = jnp.sum(S, axis=0)
+    s_tot = jnp.sum(s, axis=0)
+    theta = -_psd(S_tot, s_tot) if S_tot.shape[-1] else s_tot
+    X, U = jax.vmap(lambda x0_, c_, A_, B_, g:
+                    _theta_forward(x0_, c_, A_, B_, theta, g))(
+        x0s, c, A, B, gains)
+    return X, U
+
+
+@partial(jax.jit, static_argnames=("method", "has_u", "has_x", "has_slew",
+                                   "Nc", "iters", "ls_steps"))
+@with_matmul_precision("high")
+def riccati_barrier_core(
+    x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref, reg_x, reg_u,
+    u_l, u_u, x_l, x_u,
+    Nc: int,
+    method: str,
+    alpha,
+    beta,
+    has_u: bool,
+    has_x: bool,
+    has_slew: bool = False,
+    slew_reg=None,
+    slew_reg0=None,
+    slew_um1=None,
+    iters: int = 25,
+    ls_steps: int = 25,
+):
+    """Damped Newton on the smoothed box problem with O(N) riccati solves.
+
+    The Newton subproblem around (X, U) is ITSELF a stage-diagonal LQR: the
+    penalty curvature phi'' lands on the Qt/Rt diagonals and phi' in the
+    stage linear terms, so each Newton step is one consensus theta-sweep —
+    the long-horizon route for ``smooth_cstr="squareplus"`` (the last
+    constraint class without an O(N) path; round-5 task #7). The damped
+    update z + t dz stays dynamics-feasible for every t because the
+    constraint is affine and both endpoints satisfy it. Reference smoothing
+    semantics: ``cone_utils.jl:204-232`` squareplus reformulation.
+
+    Single flat (M, N, ...) problem; vmap over a scenario batch.
+    """
+    from .riccati import _scp_stage_terms, augment_slew_stages
+
+    dtype = f.dtype
+    M, N, xdim = f.shape
+    udim = fu.shape[-1]
+    alpha = jnp.asarray(alpha, dtype)
+    beta = jnp.asarray(beta, dtype)
+
+    c, Qt, xt, Rt, ut = jax.vmap(_scp_stage_terms)(
+        x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref, reg_x, reg_u)
+    A, B = fx, fu
+    x0s = x0
+    if has_slew:
+        x0s, c, A, B, Qt, xt = jax.vmap(augment_slew_stages)(
+            x0, c, A, B, Qt, xt, slew_reg, slew_reg0, slew_um1)
+    na = c.shape[-1]  # xdim or xdim + 2 udim
+
+    # consensus-stage controls are SHARED variables: their box rows exist
+    # once, with particle 0's bounds (lqp_utils.jl:323-331 convention, same
+    # as the condensed layout) — penalizing them per particle would scale
+    # the smoothing force by M on the shared block
+    keep = ((jnp.arange(N) >= Nc)[None, :, None]
+            | (jnp.arange(M) == 0)[:, None, None])
+    m_ulo = (jnp.isfinite(u_l) & keep) if has_u \
+        else jnp.zeros_like(u_l, bool)
+    m_uhi = (jnp.isfinite(u_u) & keep) if has_u \
+        else jnp.zeros_like(u_u, bool)
+    m_xlo = jnp.isfinite(x_l) if has_x else jnp.zeros_like(x_l, bool)
+    m_xhi = jnp.isfinite(x_u) if has_x else jnp.zeros_like(x_u, bool)
+
+    def penalty(Xr, U):
+        pen = jnp.asarray(0.0, dtype)
+        for m, y in ((m_ulo, u_l - U), (m_uhi, U - u_u),
+                     (m_xlo, x_l - Xr), (m_xhi, Xr - x_u)):
+            pen += jnp.sum(jnp.where(
+                m, _phi(method, jnp.where(m, y, -1.0), alpha, beta)[0], 0.0))
+        return pen
+
+    def quad(Xa, U):
+        # base stage cost on the (possibly augmented) trajectory
+        v = 0.5 * jnp.einsum("mni,mnij,mnj->", Xa, Qt, Xa) \
+            - jnp.einsum("mni,mni->", xt, Xa)
+        v += 0.5 * jnp.einsum("mni,mnij,mnj->", U, Rt, U) \
+            - jnp.einsum("mni,mni->", ut, U)
+        return v
+
+    def objective(Xa, U):
+        return quad(Xa, U) + penalty(Xa[..., :xdim], U)
+
+    # start: the equality-only consensus solve
+    X0a, U0 = _riccati_consensus_raw(x0s, c, A, B, Qt, xt, Rt, ut, Nc)
+
+    def newton_step(carry, _):
+        Xa, U, fval = carry
+        Xr = Xa[..., :xdim]
+        d1u = d2u = jnp.zeros_like(U)
+        d1x = d2x = jnp.zeros_like(Xr)
+        if has_u:
+            plo = _phi(method, jnp.where(m_ulo, u_l - U, -1.0), alpha, beta)
+            phi_ = _phi(method, jnp.where(m_uhi, U - u_u, -1.0), alpha, beta)
+            d1u = jnp.where(m_uhi, phi_[1], 0.0) - jnp.where(m_ulo, plo[1], 0.0)
+            d2u = jnp.where(m_ulo, plo[2], 0.0) + jnp.where(m_uhi, phi_[2], 0.0)
+        if has_x:
+            plo = _phi(method, jnp.where(m_xlo, x_l - Xr, -1.0), alpha, beta)
+            phi_ = _phi(method, jnp.where(m_xhi, Xr - x_u, -1.0), alpha, beta)
+            d1x = jnp.where(m_xhi, phi_[1], 0.0) - jnp.where(m_xlo, plo[1], 0.0)
+            d2x = jnp.where(m_xlo, plo[2], 0.0) + jnp.where(m_xhi, phi_[2], 0.0)
+
+        eye_u = jnp.eye(udim, dtype=dtype)
+        Rt_n = Rt + d2u[..., :, None] * eye_u
+        ut_n = ut + d2u * U - d1u
+        Qt_n = Qt
+        xt_n = xt
+        if has_x:
+            pad = jnp.zeros((M, N, na), dtype).at[..., :xdim].set(d2x)
+            eye_a = jnp.eye(na, dtype=dtype)
+            Qt_n = Qt + pad[..., :, None] * eye_a
+            xt_n = xt + jnp.zeros((M, N, na), dtype).at[..., :xdim].set(
+                d2x * Xr - d1x)
+
+        Xn, Un = _riccati_consensus_raw(x0s, c, A, B, Qt_n, xt_n, Rt_n, ut_n,
+                                        Nc)
+        dX, dU = Xn - Xa, Un - U
+
+        def ls_body(k, best):
+            t = 0.5 ** k
+            f_t = objective(Xa + t * dX, U + t * dU)
+            better = f_t < best[0]
+            return (jnp.where(better, f_t, best[0]),
+                    jnp.where(better, t, best[1]))
+
+        f_best, t_best = lax.fori_loop(
+            0, ls_steps, ls_body, (fval, jnp.asarray(0.0, dtype)))
+        return (Xa + t_best * dX, U + t_best * dU, f_best), None
+
+    f0 = objective(X0a, U0)
+    (Xa, U, fval), _ = lax.scan(newton_step, (X0a, U0, f0), None,
+                                length=iters)
+    return Xa[..., :xdim], U, dict(obj=fval)
+
+
+def riccati_barrier_solve_np(
+    base_args, reg_args, u_l, u_u, x_l, x_u,
+    Nc: int,
+    method: str = "squareplus",
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    settings: Optional[Dict[str, Any]] = None,
+) -> Tuple[np.ndarray, np.ndarray, Dict[str, Any]]:
+    """numpy frontend for the riccati smooth-Newton path (squareplus at long
+    horizon; dispatched when method='riccati' or the auto-N route fires)."""
+    settings = settings or {}
+    (x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref) = base_args
+    (reg_x, reg_u, slew_reg, slew_reg0, slew_um1) = reg_args
+    f_np = np.asarray(f)
+    M, N = f_np.shape[0], f_np.shape[1]
+    udim = np.asarray(fu).shape[-1]
+    xdim = f_np.shape[-1]
+    dtype = np.dtype(f_np.dtype)
+    inf = np.inf
+
+    has_u = u_l is not None or u_u is not None
+    has_x = x_l is not None or x_u is not None
+    has_slew = bool(np.any(np.asarray(slew_reg) != 0)
+                    or np.any(np.asarray(slew_reg0) != 0))
+
+    def bnd(b, d, fill):
+        if b is None:
+            return jnp.full((M, N, d), fill, dtype)
+        return jnp.asarray(np.broadcast_to(
+            np.asarray(b, dtype).reshape(-1, N, d), (M, N, d)))
+
+    X, U, stats = riccati_barrier_core(
+        *[jnp.asarray(a) for a in base_args],
+        jnp.asarray(reg_x), jnp.asarray(reg_u),
+        bnd(u_l, udim, -inf), bnd(u_u, udim, inf),
+        bnd(x_l, xdim, -inf), bnd(x_u, xdim, inf),
+        Nc=Nc, method=method, alpha=alpha, beta=beta,
+        has_u=has_u, has_x=has_x, has_slew=has_slew,
+        slew_reg=jnp.asarray(slew_reg), slew_reg0=jnp.asarray(slew_reg0),
+        slew_um1=jnp.asarray(slew_um1),
+        iters=int(settings.get("newton_iters", 25)),
+        ls_steps=int(settings.get("ls_steps", 25)),
+    )
+    return (np.asarray(X), np.asarray(U),
+            dict(solver_state=settings.get("solver_state"),
+                 obj=float(stats["obj"])))

@@ -351,10 +351,12 @@ def affine_solve_np(
             # control-norm SOC extras became u_soc_r cones (both ex_consumed
             # above); other SOC/exp/aux extras need the condensed machinery
             (not extra_cstrs or ex_consumed)
-            # logbarrier smoothing = central-path stop (mu_target), which
-            # the stage-structured IPM carries; squareplus needs the smooth
-            # Newton path
-            and (not smooth_cstr or smooth_cstr == "logbarrier")
+            # logbarrier smoothing = central-path stop (mu_target) on the
+            # stage-structured IPM; squareplus = the riccati smooth Newton
+            # (riccati_barrier_core) — with u_soc/extras those combinations
+            # were already routed composed above
+            and (not smooth_cstr
+                 or smooth_cstr in ("logbarrier", "squareplus"))
             and diff_cost_fn is None
             and str(settings.get("solver", "")).upper()
             not in ("BFGS", "LBFGS", "CVX", "SQP")
@@ -389,11 +391,24 @@ def affine_solve_np(
         # Mehrotra IPM (riccati_ipm); extras and squareplus smoothing need
         # the condensed machinery
         if (extra_cstrs and not ex_consumed) \
-                or (smooth_cstr and smooth_cstr != "logbarrier"):
+                or (smooth_cstr
+                    and smooth_cstr not in ("logbarrier", "squareplus")):
             raise NotImplementedError(
                 "method='riccati' supports box bounds, u_soc_r cones, "
-                "LINEAR extras and logbarrier smoothing; SOC/exp/aux "
-                "extras and squareplus smoothing need the condensed path")
+                "LINEAR extras, logbarrier and squareplus smoothing; "
+                "SOC/exp/aux extras need the condensed path")
+        if smooth_cstr == "squareplus":
+            # damped Newton with O(N) riccati subproblem solves: the last
+            # constraint class gaining a long-horizon route (round-5 #7).
+            # u_soc/extras combinations were routed composed above.
+            from .barrier import riccati_barrier_solve_np
+
+            return riccati_barrier_solve_np(
+                base_args, reg_args, u_l, u_u, x_l, x_u, Nc=Nc,
+                method="squareplus",
+                alpha=float(smooth_alpha if smooth_alpha is not None else 1.0),
+                beta=float(settings.get("smooth_beta", 1.0)),
+                settings=settings)
         st = settings
         if smooth_cstr == "logbarrier":
             alpha = float(smooth_alpha if smooth_alpha is not None else 1.0)

@@ -178,3 +178,78 @@ def test_diff_cost_fn_top_level_kwarg_wired():
                                solver_settings=dict(diff_cost_fn=extra), **base)
     assert np.abs(U1 - U0).max() > 1e-3, "diff_cost_fn kwarg was ignored"
     np.testing.assert_allclose(U1, U2, atol=1e-9)
+
+
+def test_riccati_squareplus_matches_condensed():
+    """smooth_cstr='squareplus' on method='riccati': the damped Newton with
+    O(N) riccati subproblem solves must land on the same smoothed optimum as
+    the condensed barrier Newton (round-5 task #7 — the last constraint
+    class gaining a long-horizon route). Covers u-boxes, x-boxes, consensus
+    and slew."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(91)
+    for N, with_x, with_slew in ((8, False, False), (10, True, True)):
+        M, xdim, udim, Nc = 2, 3, 2, 2
+        p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+        kw = dict(
+            reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+            slew_reg=np.full(M, 0.3 if with_slew else 0.0),
+            slew_reg0=np.zeros(M), slew_um1=np.zeros((M, udim)),
+            u_l=-0.4 * np.ones((M, N, udim)), u_u=0.4 * np.ones((M, N, udim)),
+            x_l=(-2.5 * np.ones((M, N, xdim)) if with_x else None),
+            x_u=(2.5 * np.ones((M, N, xdim)) if with_x else None),
+            Nc=Nc,
+        )
+        args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+                p["Q"], p["R"], p["X_ref"], p["U_ref"])
+        ss = dict(smooth_cstr="squareplus", smooth_alpha=8.0,
+                  smooth_beta=1.0, newton_iters=40)
+        X_c, U_c, d_c = affine_solve_np(*args, **kw, settings=ss)
+        X_r, U_r, d_r = affine_solve_np(*args, **kw,
+                                        settings=dict(ss, method="riccati"))
+        np.testing.assert_allclose(U_r, U_c, atol=1e-5)
+        np.testing.assert_allclose(X_r, X_c, atol=1e-5)
+
+
+def test_riccati_squareplus_long_horizon_smoke():
+    """N=280 squareplus: the auto route must take the riccati Newton (the
+    condensed f32 path overflows past N~240) and return finite, smoothly
+    box-respecting controls."""
+    from pmpc_tpu.solvers.dispatch import affine_solve_np
+
+    rng = np.random.default_rng(5)
+    M, N, xdim, udim = 1, 280, 4, 2
+    p = oracle.random_problem(rng, M=M, N=N, xdim=xdim, udim=udim)
+    kw = dict(
+        reg_x=np.full(M, 1.0), reg_u=np.full(M, 0.1),
+        slew_reg=np.zeros(M), slew_reg0=np.zeros(M),
+        slew_um1=np.zeros((M, udim)),
+        u_l=-0.5 * np.ones((M, N, udim)), u_u=0.5 * np.ones((M, N, udim)),
+        x_l=None, x_u=None, Nc=0,
+    )
+    args = (p["x0"], p["f"], p["fx"], p["fu"], p["X_prev"], p["U_prev"],
+            p["Q"], p["R"], p["X_ref"], p["U_ref"])
+    # pin the route: the auto-N dispatch must take the riccati Newton
+    from pmpc_tpu.solvers import barrier as bar
+    calls = []
+    orig = bar.riccati_barrier_solve_np
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    bar.riccati_barrier_solve_np = spy
+    try:
+        X, U, d = affine_solve_np(
+            *args, **kw,
+            settings=dict(smooth_cstr="squareplus", smooth_alpha=20.0,
+                          smooth_beta=200.0, newton_iters=15))
+    finally:
+        bar.riccati_barrier_solve_np = orig
+    assert calls, "auto route must take the riccati squareplus Newton"
+    assert np.isfinite(U).all() and np.isfinite(X).all()
+    # vs the unpenalized solve: the soft box must pull the controls in hard
+    kw_free = dict(kw, u_l=None, u_u=None)
+    X0, U0, _ = affine_solve_np(*args, **kw_free, settings={})
+    assert np.abs(U).max() < 0.35 * np.abs(U0).max()
