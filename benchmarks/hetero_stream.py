@@ -40,7 +40,11 @@ def main():
     solver, data = _flagship(**HEADLINE_KW)
 
     rng = np.random.default_rng(3)
-    scales = 0.05 + 1.15 * rng.random(S)  # per-problem difficulty
+    # per-problem difficulty: wide enough that iteration counts spread
+    # (it_min << it_max), narrow enough that nearly all problems converge
+    # within the headline budget (a first capture at scale<=1.2 drove 71%
+    # of problems into the max_it cap — every lane a straggler, no tax)
+    scales = 0.05 + 0.5 * rng.random(S)
 
     def prob(i):
         x0 = np.asarray(data.x0) + scales[i] * rng.normal(

