@@ -122,6 +122,7 @@ def build_scp_solver(
     accel_window: int = 5,
     accel_it0: int = 2,
     accel_wmax: float = 50.0,
+    relin_stale: int = 0,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -149,6 +150,13 @@ def build_scp_solver(
         accel_wmax: safeguard — fall back to the plain iterate whenever the
             combination's total weight mass exceeds this (an exploding
             extrapolation signals a locally nonlinear map).
+        relin_stale: number of STALE-JACOBIAN sub-iterations after each
+            fresh one (condensed method only): the stale sub-steps reuse
+            (f, fx, fu) and the Hessian blocks, so their assembly is only
+            the q-vector refresh (`reduced.update_condensed_linear`). The
+            iteration counter counts sub-steps, so `max_it` still bounds
+            total subproblem solves (the while_loop checks between
+            super-iterations, so the cap can overshoot by relin_stale).
 
     Returns:
         solver(data: SCPData) -> (X (M,N+1,xdim), U (M,N,udim), info dict)
@@ -163,6 +171,10 @@ def build_scp_solver(
         raise NotImplementedError(
             "method='priccati' does not support state boxes or SOC cones; "
             "use method='riccati'")
+    if relin_stale and method != "condensed":
+        raise ValueError(
+            "relin_stale (stale-Jacobian sub-iterations) is only supported "
+            "with method='condensed'")
     if not ipm_predictor and method != "condensed":
         # the single-solve (LOQO-sigma) mode only exists in the condensed
         # arrow IPM; the riccati stage-structured IPM always runs Mehrotra —
@@ -204,8 +216,20 @@ def build_scp_solver(
         return Z_acc, wmass
 
     def iteration(data: SCPData, carry, _):
+        f, fx, fu = linearize_particles(data, carry[0], carry[1])
+        carry, ys, cqp = _sub_iteration(data, carry, f, fx, fu, None)
+        # stale-Jacobian sub-iterations: reuse (f, fx, fu) — Ft and every
+        # Hessian block are loop-invariant, so the sub-step's assembly is
+        # only the ft rollout + q chain (~0.1 ms vs ~5 ms at headline
+        # shapes; see reduced.update_condensed_linear). At the fixed point
+        # a stale subproblem equals the fresh one, so the converged point
+        # and the step-size convergence test are unchanged.
+        for _ in range(relin_stale):
+            carry, ys, cqp = _sub_iteration(data, carry, f, fx, fu, cqp)
+        return carry, ys
+
+    def _sub_iteration(data: SCPData, carry, f, fx, fu, cqp_prev):
         X_prev, U_prev, it, done, resid, resid_m, warm, acc = carry
-        f, fx, fu = linearize_particles(data, X_prev, U_prev)
 
         X_ref, U_ref = data.X_ref, data.U_ref
         if lin_cost_fn is not None:
@@ -293,11 +317,19 @@ def build_scp_solver(
             X = X * poison
             U = U * poison
         else:
-            cqp = assemble_condensed(
-                data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
-                data.reg_x, data.reg_u, data.slew_reg, data.slew_reg0,
-                data.slew_um1, Nc=Nc,
-            )
+            if cqp_prev is None:
+                cqp = assemble_condensed(
+                    data.x0, f, fx, fu, X_prev, U_prev, data.Q, data.R,
+                    X_ref, U_ref,
+                    data.reg_x, data.reg_u, data.slew_reg, data.slew_reg0,
+                    data.slew_um1, Nc=Nc,
+                )
+            else:
+                from .solvers.reduced import update_condensed_linear
+
+                cqp = update_condensed_linear(
+                    cqp_prev, X_prev, U_prev, data.Q, data.R, X_ref, U_ref,
+                    data.reg_x, data.reg_u, data.slew_reg0, data.slew_um1)
             if has_bounds:
                 nc = Nc * udim
                 dt = cqp.qf.dtype
@@ -405,8 +437,9 @@ def build_scp_solver(
                 ys["ipm_failed"] = stats["failed"]
                 ys["ipm_converged"] = stats["converged"]
                 ys["accepted"] = ~freeze
+        cqp_out = None if method in ("riccati", "priccati") else cqp
         return (X_out, U_out, it_out, done | now_done, resid_out, resid_m_out,
-                warm_out, acc_out), ys
+                warm_out, acc_out), ys, cqp_out
 
     def init_carry(data: SCPData, state=None):
         """Initial SCP loop carry for `run_chunk` (continuous-batching

@@ -372,3 +372,57 @@ def recover_XU(cqp: CondensedQP, uc: jax.Array, uf: jax.Array, N: int):
     x = jnp.einsum("mij,mj->mi", cqp.Ft, w) + cqp.g  # (M, NX)
     xdim, udim = x.shape[-1] // N, w.shape[-1] // N
     return x.reshape(M, N, xdim), w.reshape(M, N, udim)
+
+
+def rollout_ft(x0, f, fx, X_prev):
+    """The affine-rollout half of `condense`: ft only (O(N) scan on (xdim,)
+    carries — the cheap part; the Ft rows scan is the expensive one)."""
+    batch = f.shape[:-2]
+    N, xdim = f.shape[-2:]
+    nb = len(batch)
+    xlin = jnp.concatenate([x0[..., None, :], X_prev[..., :-1, :]], axis=-2)
+    mv = lambda a: jnp.moveaxis(a, nb, 0) if nb else a
+
+    def step(x, inp):
+        f_j, fx_j, xlin_j = inp
+        x_next = f_j + jnp.einsum("...ij,...j->...i", fx_j, x - xlin_j)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, (mv(f), mv(fx), mv(xlin)))
+    return jnp.moveaxis(xs, 0, nb).reshape(batch + (N * xdim,))
+
+
+def update_condensed_linear(
+    cqp: CondensedQP, X_prev, U_prev, Q, R, X_ref, U_ref,
+    reg_x, reg_u, slew_reg0, slew_um1,
+) -> CondensedQP:
+    """Refresh the PROX/REF cost terms (q) of a condensed QP for a new prox
+    center, keeping the affine dynamics map (Ft, g) and every Hessian block
+    frozen.
+
+    This is the stale-Jacobian SCP sub-iteration's assembly: the affine map
+    ``x = Ft w + g`` is anchored at the OLD linearization point and stays
+    valid for any w, so a sub-iteration only moves the proximal centers
+    (reg_x X_prev / reg_u U_prev in xt/ut) and costs one Ft' matvec chain
+    (~0.1 ms at headline shapes vs ~5 ms for the full assembly). At the SCP
+    fixed point consecutive iterates coincide, so the stale subproblem
+    equals the fresh one and the converged point/step-size test are
+    unchanged."""
+    M, nc = cqp.M, cqp.nc
+    N = cqp.Qt.shape[1]
+    xt = (jnp.einsum("...nij,...nj->...ni", Q, X_ref)
+          + reg_x[..., None, None] * X_prev).reshape(M, -1)
+    ut = (jnp.einsum("...nij,...nj->...ni", R, U_ref)
+          + reg_u[..., None, None] * U_prev).reshape(M, -1)
+    Qg = jnp.einsum("...nij,...nj->...ni", cqp.Qt,
+                    cqp.g.reshape(M, N, -1)).reshape(M, -1)
+    q = jnp.einsum("...ji,...j->...i", cqp.Ft, Qg - xt) - ut
+    udim = cqp.Rt.shape[-1]
+    NU = q.shape[-1]
+    um1_pad = jnp.concatenate(
+        [slew_um1, jnp.zeros(slew_um1.shape[:-1] + (NU - udim,),
+                             slew_um1.dtype)], axis=-1)
+    q = q - slew_reg0[..., None] * um1_pad
+    qc = jnp.sum(q[:, :nc], axis=0)
+    qf = q[:, nc:]
+    return cqp._replace(qc=qc, qf=qf)

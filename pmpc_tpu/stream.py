@@ -3,16 +3,18 @@
 The fused vmapped solver runs every lane of a batch to the BATCH max
 iteration count: with heterogeneous difficulty, converged lanes idle while
 stragglers finish (the round-4 roofline's lane-idle tax). This module keeps
-a fixed B-lane device batch busy from a STREAM of problems: the SCP loop
-advances in chunks (`build_scp_solver(...).run_chunk`), and between chunks
-the host swaps finished problems out and fresh ones in, re-initializing
-only those lanes' carries. The TPU-idiomatic analog of the reference farm's
-greedy dispatch + requeue (``pmpc/remote.py:391-452``) — work stays resident
-on device, only done-flags and swapped lanes cross the host boundary.
+a fixed B-lane device batch busy from a STREAM of problems with the refill
+INSIDE the device loop: one jitted ``lax.while_loop`` advances every lane by
+``chunk_it`` SCP iterations, retires finished lanes into device-resident
+result buffers (predicated scatter via a dump row), gathers fresh problems
+from the device-resident stream pool, and re-initializes only those lanes'
+carries — the host sees ONE dispatch and ONE final pull for the whole
+stream. The TPU-idiomatic analog of the reference farm's greedy dispatch +
+requeue (``pmpc/remote.py:391-452``).
 
-Cost model: every chunk boundary pays one host sync (ONE bool-vector pull;
-~27 ms through a remote-TPU tunnel, ~us on an attached chip), so
-``chunk_it`` trades sync overhead against refill granularity.
+(A first host-driven version paid ~17 eager dispatches per refill round
+through the remote-TPU tunnel at ~27 ms each and ran 12-40x slower than
+run-to-max batching; the device loop removes every per-round host touch.)
 """
 
 from __future__ import annotations
@@ -28,102 +30,103 @@ def solve_stream(
     B: int,
     chunk_it: int = 4,
     max_it: int = 10_000,
-    max_rounds: int = 10_000,
+    max_rounds: int = 100_000,
 ) -> List[Tuple[np.ndarray, np.ndarray, dict]]:
-    """Solve a stream of same-shape problems with lane refill.
+    """Solve a stream of same-shape problems with in-device-loop lane refill.
 
     Args:
         solver: a `build_scp_solver(...)` result (carries ``init_carry`` /
             ``run_chunk`` / ``extract``).
         stream: sequence of single-problem `SCPData` pytrees (unbatched).
         B: device batch width (lanes).
-        chunk_it: SCP iterations per device call between refill points.
+        chunk_it: SCP iterations per refill opportunity.
         max_it: iteration budget per problem — a lane that reaches it
-            without converging is retired (``info["converged"]=False``) and
-            refilled, mirroring the solver's own cap.
+            without converging is retired (``info["converged"]=False``).
 
     Returns:
         list of (X_traj, U, info) in input order; ``info["iters"]`` is the
-        lane's own iteration count (not the batch max).
+        lane's own iteration count (not a batch max).
     """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     S = len(stream)
     if S == 0:
         return []
     B = min(B, S)
 
-    chunk = jax.jit(jax.vmap(
-        lambda d, c: solver.run_chunk(d, c, chunk_it)))
-    init_b = jax.jit(jax.vmap(solver.init_carry))
-    extract_b = jax.jit(jax.vmap(solver.extract))
+    pool = jax.tree.map(lambda *xs: jnp.stack(xs), *stream)  # (S, ...)
 
-    stack = lambda probs: jax.tree.map(
-        lambda *xs: jnp.stack(xs), *probs)
+    @jax.jit
+    def drive(pool):
+        data0 = jax.tree.map(lambda a: a[:B], pool)
+        carry0 = jax.vmap(solver.init_carry)(data0)
+        lane_prob0 = jnp.arange(B, dtype=jnp.int32)
+        # result buffers with a dump row at index S (predicated scatter)
+        eX, eU, einfo = jax.vmap(solver.extract)(data0, carry0)
+        rX = jnp.zeros((S + 1,) + eX.shape[1:], eX.dtype)
+        rU = jnp.zeros((S + 1,) + eU.shape[1:], eU.dtype)
+        rMeta = jnp.zeros((S + 1, 3), jnp.float32)  # iters, resid, converged
 
-    lane_prob = list(range(B))  # problem index per lane (-1 = parked)
-    next_p = B
-    data = stack([stream[i] for i in range(B)])
-    carry = init_b(data)
-    results: List[Any] = [None] * S
-    n_done = 0
+        def cond(st):
+            n_done, rounds = st[0], st[1]
+            return (n_done < S) & (rounds < max_rounds)
 
-    for _ in range(max_rounds):
-        carry = chunk(data, carry)
-        done = np.asarray(carry[3])  # (B,) — the one per-chunk sync
-        iters = np.asarray(carry[2])
-        fin = done | (iters >= max_it)
-        hot = [i for i in range(B) if fin[i] and lane_prob[i] >= 0]
-        if not hot:
-            continue
-        # retire the finished lanes: freeze budget-capped ones (done=False
-        # lanes would keep iterating) — refilled lanes get re-initialized
-        # carries below anyway
-        idx_hot = jnp.asarray(np.array(hot))
-        carry = carry[:3] + (carry[3].at[idx_hot].set(True),) + carry[4:]
-        X_b, U_b, info_b = extract_b(data, carry)
-        X_b, U_b = np.asarray(X_b), np.asarray(U_b)
-        iters_b = np.asarray(info_b["iters"])
-        resid_b = np.asarray(info_b["resid"])
-        conv_b = np.asarray(info_b["converged"]) & done
-        refill_rows = []
-        for i in hot:
-            p = lane_prob[i]
-            results[p] = (X_b[i], U_b[i],
-                          dict(iters=int(iters_b[i]),
-                               resid=float(resid_b[i]),
-                               converged=bool(conv_b[i])))
-            n_done += 1
-            if next_p < S:
-                lane_prob[i] = next_p
-                refill_rows.append((i, stream[next_p]))
-                next_p += 1
-            else:
-                lane_prob[i] = -1  # parked: carry stays done -> frozen
-        if n_done == S:
-            break
-        if refill_rows:
-            # FIXED-shape refill: rebuild the full B-lane stack on the host
-            # and blend carries with a boolean mask. Shape-varying updates
-            # (at[idx].set with per-round index widths) would recompile the
-            # init/scatter programs once per distinct refill count — ~64
-            # compiles at tens of seconds each through a remote toolchain
-            # (measured: the variable-width version ran 27x SLOWER than
-            # run-to-max batching; this version is the fix).
-            mask = np.zeros(B, bool)
-            for i, _ in refill_rows:
-                mask[i] = True
-            data = stack([stream[lane_prob[i]] if lane_prob[i] >= 0
-                          else stream[0] for i in range(B)])
-            fresh = init_b(data)
-            mask_d = jnp.asarray(mask)
+        def body(st):
+            n_done, rounds, next_p, lane_prob, data, carry, rX, rU, rMeta = st
+            carry = jax.vmap(lambda d, c: solver.run_chunk(d, c, chunk_it))(
+                data, carry)
+            done = carry[3]
+            iters = carry[2]
+            active = lane_prob >= 0
+            fin = (done | (iters >= max_it)) & active
 
-            def blend(old, new):
-                m = mask_d.reshape((B,) + (1,) * (new.ndim - 1))
-                return jnp.where(m, new, old)
+            # retire: write finished lanes' results (inactive -> dump row S)
+            eX, eU, einfo = jax.vmap(solver.extract)(data, carry)
+            idx = jnp.where(fin, lane_prob, S)
+            rX = rX.at[idx].set(eX)
+            rU = rU.at[idx].set(eU)
+            meta = jnp.stack([iters.astype(jnp.float32),
+                              einfo["resid"].astype(jnp.float32),
+                              done.astype(jnp.float32)], axis=-1)
+            rMeta = rMeta.at[idx].set(meta)
+            n_done = n_done + jnp.sum(fin).astype(jnp.int32)
 
-            carry = jax.tree.map(blend, carry, fresh)
-    else:
-        raise RuntimeError("solve_stream: max_rounds exhausted")
-    return results
+            # refill: k-th finishing lane takes problem next_p + k
+            ranks = jnp.cumsum(fin.astype(jnp.int32)) - 1
+            new_idx = next_p + ranks
+            refill = fin & (new_idx < S)
+            gather = jnp.clip(new_idx, 0, S - 1)
+            data = jax.tree.map(
+                lambda full, cur: jnp.where(
+                    refill.reshape((B,) + (1,) * (cur.ndim - 1)),
+                    full[gather], cur),
+                pool, data)
+            fresh = jax.vmap(solver.init_carry)(data)
+            sel = lambda n, c: jax.tree.map(
+                lambda a, b: jnp.where(
+                    refill.reshape((B,) + (1,) * (b.ndim - 1)), a, b), n, c)
+            carry = sel(fresh, carry)
+            lane_prob = jnp.where(refill, new_idx.astype(jnp.int32),
+                                  jnp.where(fin, -1, lane_prob))
+            next_p = next_p + jnp.sum(fin).astype(jnp.int32)
+            return (n_done, rounds + 1, next_p, lane_prob, data, carry,
+                    rX, rU, rMeta)
+
+        st0 = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+               jnp.asarray(B, jnp.int32), lane_prob0, data0, carry0,
+               rX, rU, rMeta)
+        st = lax.while_loop(cond, body, st0)
+        return st[6], st[7], st[8], st[0]
+
+    rX, rU, rMeta, n_done = drive(pool)
+    rX, rU, rMeta = np.asarray(rX), np.asarray(rU), np.asarray(rMeta)
+    if int(n_done) < S:
+        raise RuntimeError(
+            f"solve_stream: only {int(n_done)}/{S} problems finished "
+            f"(max_rounds={max_rounds})")
+    return [(rX[i], rU[i], dict(iters=int(rMeta[i, 0]),
+                                resid=float(rMeta[i, 1]),
+                                converged=bool(rMeta[i, 2] > 0)))
+            for i in range(S)]
