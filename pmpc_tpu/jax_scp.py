@@ -123,6 +123,7 @@ def build_scp_solver(
     accel_it0: int = 2,
     accel_wmax: float = 50.0,
     relin_stale: int = 0,
+    riccati_unroll: Optional[int] = None,
 ) -> Callable:
     """Build a jitted end-to-end SCP solver for fixed problem dimensions.
 
@@ -171,6 +172,10 @@ def build_scp_solver(
         raise NotImplementedError(
             "method='priccati' does not support state boxes or SOC cones; "
             "use method='riccati'")
+    # unroll=8 cuts the remote compile ~24x at long N with warm latency
+    # unchanged (benchmarks/profile_long_horizon_out.txt)
+    _runroll = riccati_unroll if riccati_unroll is not None \
+        else (8 if N >= 64 else 1)
     if relin_stale and method != "condensed":
         raise ValueError(
             "relin_stale (stale-Jacobian sub-iterations) is only supported "
@@ -288,7 +293,8 @@ def build_scp_solver(
                     iters=ipm_iters,
                     tol_exp=ipm_tol_exp if ipm_tol_exp is not None else dflt_tol,
                     kappa=kappa if kappa is not None else dflt_kappa,
-                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau, **slew_kw,
+                    warm=warm, tol_dynamic=tol_dyn, tau=ipm_tau,
+                    scan_unroll=_runroll, **slew_kw,
                     **xbox_kw)
                 if warm_start:
                     warm_new = (stats["theta"], stats["uf"],

@@ -933,8 +933,13 @@ def riccati_ipm_solve_np(
             shapes_ok = shapes_ok and len(cand) >= 6 \
                 and np.shape(cand[4]) == (nq, udim + 1)
         if shapes_ok:
-            warm = tuple(jnp.asarray(np.asarray(z, dtype=dtype))
-                         for z in cand)
+            # warm tuples stay DEVICE arrays across SCP iterations (pulling
+            # them cost ~6 tunnel round trips ~27 ms each PER ITERATION —
+            # the dominant share of the 0.47 s/iteration long-horizon warm
+            # latency, benchmarks/profile_long_horizon_out.txt)
+            warm = tuple(
+                z if isinstance(z, jax.Array) and z.dtype == dtype
+                else jnp.asarray(np.asarray(z, dtype=dtype)) for z in cand)
 
     iters = int(settings.get("ipm_iters", 30))
     tol_exp = int(settings.get("ipm_tol_exp", -8 if dtype == np.float64 else -5))
@@ -983,24 +988,41 @@ def riccati_ipm_solve_np(
         tol_dynamic=tol_dyn,
         tau=(float(settings["ipm_tau"]) if settings.get("ipm_tau") is not None
              else None),
-        scan_unroll=int(settings.get("riccati_unroll", 1)),
+        # unroll=8 cuts the remote compile ~24x at long N (487 s -> 20 s at
+        # N=140; N=280 compiles in ~23 s) with warm latency unchanged —
+        # default it where horizons are long enough for compile to hurt
+        scan_unroll=int(settings.get("riccati_unroll", 8 if N >= 64 else 1)),
         **slew_kw, **xbox_kw, **soc_kw)
-    # one device->host transfer (see ipm_solve_np): per-array pulls are
-    # blocking round trips through a remote-TPU tunnel
-    (X, U, th_h, uf_h, s_h, lam_h, sq_h, zq_h, mu_h, it_h, conv_h, fail_h) = \
-        jax.device_get([X, U, stats["theta"], stats["uf"], stats["s"],
-                        stats["lam"], stats["sq"], stats["zq"], stats["mu"],
-                        stats["iters"], stats["converged"], stats["failed"]])
-    warm_out = (th_h, uf_h, s_h, lam_h) if not has_soc else \
-        (th_h, uf_h, s_h, lam_h, sq_h, zq_h)
+    # ONE packed device->host transfer: through a remote-TPU tunnel each
+    # device_get element is its own ~27 ms round trip, and this function
+    # used to pull twelve (0.32 s/SCP-iteration — the long-horizon warm
+    # latency's dominant term). X/U/scalars ride one flat vector; the warm
+    # primal/dual tuple never leaves the device (see above).
+    dt_j = X.dtype
+    packed = jnp.concatenate([
+        X.reshape(-1), U.reshape(-1),
+        jnp.stack([stats["mu"].astype(dt_j),
+                   stats["iters"].astype(dt_j),
+                   stats["converged"].astype(dt_j),
+                   stats["failed"].astype(dt_j)])])
+    host = np.asarray(jax.device_get(packed), dtype=dtype)
+    nX = X.size
+    nU = U.size
+    X_h = host[:nX].reshape(X.shape)
+    U_h = host[nX:nX + nU].reshape(U.shape)
+    mu_h, it_h, conv_h, fail_h = host[nX + nU:]
+    warm_out = (stats["theta"], stats["uf"], stats["s"], stats["lam"]) \
+        if not has_soc else \
+        (stats["theta"], stats["uf"], stats["s"], stats["lam"],
+         stats["sq"], stats["zq"])
     data = dict(
         solver_state=dict(riccati_warm=warm_out),
         ipm_mu=float(mu_h),
         ipm_iters=int(it_h),
-        ipm_converged=bool(conv_h),
-        ipm_failed=bool(fail_h),
+        ipm_converged=bool(conv_h > 0),
+        ipm_failed=bool(fail_h > 0),
     )
-    return np.asarray(X), np.asarray(U), data
+    return X_h, U_h, data
 
 
 def riccati_ipm_solve_scp(x0, f, fx, fu, X_prev, U_prev, Q, R, X_ref, U_ref,
