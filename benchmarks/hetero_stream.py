@@ -82,8 +82,10 @@ def main():
 
     # ---- continuous batching (lane refill) ----------------------------------
     for chunk_it in (2, 4, 6):
-        out = solve_stream(solver, stream[:B], B=B, chunk_it=chunk_it,
-                           max_it=25)  # warm
+        # warm with the SAME static shapes (S is baked into the jitted
+        # while-program; a smaller warmup stream compiles a different
+        # program and the measured run pays the full compile)
+        out = solve_stream(solver, stream, B=B, chunk_it=chunk_it, max_it=25)
         t0 = time.perf_counter()
         out = solve_stream(solver, stream, B=B, chunk_it=chunk_it, max_it=25)
         dt = time.perf_counter() - t0

@@ -82,15 +82,30 @@ def solve_stream(
             active = lane_prob >= 0
             fin = (done | (iters >= max_it)) & active
 
-            # retire: write finished lanes' results (inactive -> dump row S)
+            # retire: write finished lanes' results (inactive -> dump row S).
+            # Scatter/gather lower pathologically on this backend (same
+            # reason the whole codebase prefers broadcast masks): both are
+            # expressed as one-hot MATMULS — exact row copies (each output
+            # row is 1.0 * one source row), MXU-shaped.
             eX, eU, einfo = jax.vmap(solver.extract)(data, carry)
             idx = jnp.where(fin, lane_prob, S)
-            rX = rX.at[idx].set(eX)
-            rU = rU.at[idx].set(eU)
+            oh_r = (idx[:, None] == jnp.arange(S + 1)[None, :])  # (B, S+1)
+
+            def retire(buf, rows):
+                ohf = oh_r.astype(rows.dtype)
+                delta = jnp.einsum(
+                    "bs,bd->sd", ohf, rows.reshape(B, -1)).reshape(buf.shape)
+                keep = ~jnp.any(oh_r, axis=0)
+                return jnp.where(
+                    keep.reshape((S + 1,) + (1,) * (buf.ndim - 1)),
+                    buf, delta)
+
+            rX = retire(rX, eX)
+            rU = retire(rU, eU)
             meta = jnp.stack([iters.astype(jnp.float32),
                               einfo["resid"].astype(jnp.float32),
                               done.astype(jnp.float32)], axis=-1)
-            rMeta = rMeta.at[idx].set(meta)
+            rMeta = retire(rMeta, meta)
             n_done = n_done + jnp.sum(fin).astype(jnp.int32)
 
             # refill: k-th finishing lane takes problem next_p + k
@@ -98,11 +113,17 @@ def solve_stream(
             new_idx = next_p + ranks
             refill = fin & (new_idx < S)
             gather = jnp.clip(new_idx, 0, S - 1)
-            data = jax.tree.map(
-                lambda full, cur: jnp.where(
-                    refill.reshape((B,) + (1,) * (cur.ndim - 1)),
-                    full[gather], cur),
-                pool, data)
+            oh_g = (gather[:, None] == jnp.arange(S)[None, :]) \
+                & refill[:, None]  # (B, S)
+
+            def pull(full, cur):
+                rows = jnp.einsum(
+                    "bs,sd->bd", oh_g.astype(cur.dtype),
+                    full.reshape(S, -1)).reshape((B,) + full.shape[1:])
+                return jnp.where(
+                    refill.reshape((B,) + (1,) * (cur.ndim - 1)), rows, cur)
+
+            data = jax.tree.map(pull, pool, data)
             fresh = jax.vmap(solver.init_carry)(data)
             sel = lambda n, c: jax.tree.map(
                 lambda a, b: jnp.where(
