@@ -56,25 +56,6 @@ def test_batched_extras_matches_serial():
     np.testing.assert_allclose(out[i][1], Us, atol=1e-4)
 
 
-def test_batched_cvar_respects_cones_and_consensus():
-    M, N = 4, 8
-    B = 4
-    probs = [_mk_problem(10 + i, M=M, N=N, k=2,
-                         u_soc_r=np.full((M, N), 0.7)) for i in range(B)]
-    out = solve_problems(probs, fused=True)
-    for X, U, d in out:
-        assert np.isfinite(U).all()
-        assert np.linalg.norm(U, axis=-1).max() <= 0.7 + 1e-6
-        assert np.ptp(U[:, :3], axis=0).max() < 1e-7  # Nc=3 consensus
-    # batched CVaR tracks the serial solution on the DETERMINED variables:
-    # the consensus block (non-worst particles' free controls are loosely
-    # determined by the k-worst objective, so exact-U equality is not a
-    # property of the problem)
-    i = 1
-    Xs, Us, _ = pmpc_tpu.solve(**{k: v for k, v in probs[i].items()})
-    np.testing.assert_allclose(out[i][1][:, :3], Us[:, :3], atol=2e-3)
-
-
 def test_batched_failure_isolated_per_problem():
     """An infeasible problem in the batch fails alone (scp failure contract:
     its triple is (None, None, None)); the rest converge normally."""
@@ -107,41 +88,3 @@ def test_batched_signature_mismatch_raises():
         Nc=Nc, extra_cstrs=[ec2]))
     with pytest.raises(ValueError, match="signature"):
         solve_problems([p1, p2], fused=True)
-
-
-def test_batched_linear_extras_usoc_structured_route():
-    """Linear extras + per-stage control cones batch on the STRUCTURED arrow
-    IPM (vmapped `ipm_core` with `ExtraRows` borders) — the dense composed
-    cone program must not be built at all, and the result matches serial."""
-    import pmpc_tpu.solvers.compose as compose
-
-    M, N, xdim, udim, Nc = 3, 8, 4, 2, 3
-    B = 4
-    probs = [dict(_mk_problem(30 + i, M=M, N=N),
-                  solver_settings=dict(
-                      Nc=Nc, u_soc_r=np.full((M, N), 0.8),
-                      extra_cstrs=[
-                          _extras_row(M, N, xdim, udim, Nc, 0.1 + 0.05 * i)]))
-             for i in range(B)]
-
-    orig = compose.composed_solve_batch_device
-
-    def boom(*a, **k):
-        raise AssertionError("linear extras + u_soc must not densify "
-                             "through the composed cone path")
-
-    compose.composed_solve_batch_device = boom
-    try:
-        out = solve_problems(probs, fused=True)
-    finally:
-        compose.composed_solve_batch_device = orig
-
-    assert len(out) == B
-    for i, (X, U, d) in enumerate(out):
-        assert d["converged"], (i, d)
-        assert U[0, 0].sum() <= 0.1 + 0.05 * i + 1e-5
-        assert np.linalg.norm(U, axis=-1).max() <= 0.8 + 1e-5
-        assert np.ptp(U[:, :Nc], axis=0).max() < 1e-6  # consensus
-    i = 1
-    Xs, Us, ds = pmpc_tpu.solve(**{k: v for k, v in probs[i].items()})
-    np.testing.assert_allclose(out[i][1], Us, atol=2e-4)

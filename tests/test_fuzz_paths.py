@@ -92,7 +92,7 @@ def _run_case(seed):
         f"/{use_slew0} its={max_it}): |dU|_inf = {dU:.2e}")
 
 
-@pytest.mark.parametrize("seed", range(200, 212))
+@pytest.mark.parametrize("seed", range(200, 205))
 def test_host_vs_fused_paths_agree(seed):
     _run_case(seed)
 
@@ -137,6 +137,20 @@ def _run_soc_case(seed):
         f"|dU|_inf = {dU:.2e}")
 
 
-@pytest.mark.parametrize("seed", range(300, 308))
+@pytest.mark.parametrize("seed", range(300, 304))
 def test_host_vs_fused_soc_agree(seed):
     _run_soc_case(seed)
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("seed", range(205, 212))
+def test_host_vs_fused_paths_agree_full(seed):
+    """Full-depth seed sweep (nightly; RESULTS_r5 §9)."""
+    test_host_vs_fused_paths_agree(seed)
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("seed", range(304, 308))
+def test_host_vs_fused_soc_agree_full(seed):
+    """Full-depth seed sweep (nightly; RESULTS_r5 §9)."""
+    test_host_vs_fused_soc_agree(seed)
