@@ -211,3 +211,32 @@ def test_return_state_warm_starts_across_calls():
     np.testing.assert_allclose(np.asarray(U_warm), np.asarray(U_cold),
                                atol=1e-5)
     assert int(i_warm["iters"]) <= int(i_cold["iters"])
+
+
+def test_relin_stale_same_fixed_point():
+    """Stale-Jacobian sub-iterations (relin_stale) keep the affine map and
+    Hessians frozen and only move the prox/ref terms: at the fixed point a
+    stale subproblem equals the fresh one, so both solvers must land on the
+    same solution (they do on this mildly nonlinear problem; on the
+    flagship dubins the mode is a measured NEGATIVE — ab_stale_out.txt —
+    and stays off by default)."""
+    import jax
+
+    def dyn(x, u):
+        return x + 0.1 * jnp.concatenate([jnp.sin(x[2:4]), u])
+
+    N, xdim, udim, M = 12, 4, 2, 3
+    data = make_scp_data(
+        np.ones((M, xdim), np.float32),
+        np.tile(np.eye(xdim, dtype=np.float32), (M, N, 1, 1)),
+        np.tile(1e-2 * np.eye(udim, dtype=np.float32), (M, N, 1, 1)),
+        u_l=-np.ones((M, N, udim), np.float32),
+        u_u=np.ones((M, N, udim), np.float32))
+    kw = dict(N=N, xdim=xdim, udim=udim, M=M, Nc=3, max_it=40, res_tol=1e-6,
+              has_u_bounds=True, accel="AA", jit=False)
+    s0 = build_scp_solver(dyn, **kw)
+    s1 = build_scp_solver(dyn, relin_stale=1, **kw)
+    X0, U0, i0 = jax.jit(s0)(data)
+    X1, U1, i1 = jax.jit(s1)(data)
+    assert bool(np.asarray(i0["converged"])) and bool(np.asarray(i1["converged"]))
+    np.testing.assert_allclose(np.asarray(U0), np.asarray(U1), atol=2e-5)

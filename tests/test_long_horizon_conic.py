@@ -54,3 +54,62 @@ def test_long_horizon_state_cone_condensed_f64():
     pN = np.linalg.norm(X[-1, :2])
     assert pN <= radius + 1e-5, pN
     assert pN >= radius - 0.05, f"cone should be active, got {pN}"
+
+
+def test_long_horizon_thrust_cone_extras_ride_riccati():
+    """Round-4 'missing #2' (fast long-horizon conic route), closed for the
+    thrust-cone class: per-stage ||u||<=r SOC extras are detected
+    (split_stage_u_cones), become u_soc_r cones, and ride the O(N) riccati
+    IPM at long horizon — the dense composed f64 program is never built."""
+    from pmpc_tpu.solvers import compose as comp
+    from pmpc_tpu.solvers import riccati_ipm as rip
+
+    M, N, xdim, udim = 1, 250, 4, 2
+    f_fn = dubins_f_fx_fu_fn()
+    Q = np.tile(np.eye(xdim), (N, 1, 1))
+    R = np.tile(1e-2 * np.eye(udim), (N, 1, 1))
+    umax = 0.6
+    nu = N * udim
+    n_full = nu + N * xdim
+
+    def extra_cstrs_fns(X_prev, U_prev, problems):
+        rows, hs, qsizes = [], [], []
+        for j in range(N):
+            G = np.zeros((1 + udim, n_full))
+            h = np.zeros(1 + udim)
+            h[0] = umax
+            for r in range(udim):
+                G[1 + r, j * udim + r] = -1.0
+            rows.append(G)
+            hs.append(h)
+            qsizes.append(1 + udim)
+        return [(0, qsizes, 0, np.concatenate(rows, 0),
+                 np.zeros((sum(qsizes), 0)), np.concatenate(hs),
+                 np.zeros(n_full), np.zeros(0))]
+
+    calls = []
+    orig = rip.riccati_ipm_solve_np
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    boom_orig = comp.composed_cone_solve
+
+    def boom(*a, **k):
+        raise AssertionError("thrust-cone extras at long N must not take "
+                             "the composed path")
+
+    rip.riccati_ipm_solve_np = spy
+    comp.composed_cone_solve = boom
+    try:
+        X, U, data = pmpc_tpu.solve(
+            f_fn, Q, R, np.zeros(xdim),
+            extra_cstrs_fns=extra_cstrs_fns,
+            reg_x=0.1, reg_u=0.1, max_it=6, res_tol=5e-3, verbose=False)
+    finally:
+        rip.riccati_ipm_solve_np = orig
+        comp.composed_cone_solve = boom_orig
+    assert calls, "must route through the riccati IPM"
+    assert np.isfinite(U).all()
+    assert np.linalg.norm(U, axis=-1).max() <= umax + 1e-4
