@@ -514,8 +514,15 @@ def ipm_core(
             rp_ = jnp.where(mask & (ds < 0), -s_ / jnp.where(ds < 0, ds, -1.0), jnp.inf)
             rd_ = jnp.where(mask & (dlam < 0), -lam_ / jnp.where(dlam < 0, dlam, -1.0),
                             jnp.inf)
-            ap = jnp.minimum(1.0, tau * jnp.min(rp_)) if mtot else jnp.asarray(1.0, dtype)
-            ad = jnp.minimum(1.0, tau * jnp.min(rd_)) if mtot else jnp.asarray(1.0, dtype)
+            if mtot:
+                # ONE stacked reduction for both ratio families: the chain is
+                # latency-bound at these sizes, and every separate reduction
+                # is its own small op (see benchmarks/ab_fused_step.md)
+                mins = jnp.min(jnp.stack([rp_, rd_]), axis=1)
+                ap = jnp.minimum(1.0, tau * mins[0])
+                ad = jnp.minimum(1.0, tau * mins[1])
+            else:
+                ap = ad = jnp.asarray(1.0, dtype)
             if has_soc:
                 aq_p = jax.vmap(_soc_step_len)(sq_, dsq)
                 aq_d = jax.vmap(_soc_step_len)(zq_, dzq)
@@ -646,10 +653,10 @@ def ipm_core(
         rp_inf = jnp.max(jnp.abs(r_p)) if mtot else jnp.asarray(0.0, dtype)
         if has_soc:
             rp_inf = jnp.maximum(rp_inf, jnp.max(jnp.abs(r_pq)))
-        gd_inf = jnp.maximum(
-            jnp.max(jnp.abs(gc)) if gc.size else jnp.asarray(0.0, dtype),
-            jnp.max(jnp.abs(gf)) if gf.size else jnp.asarray(0.0, dtype),
-        )
+        # one reduction over the concatenated gradient instead of two
+        g_all = jnp.concatenate([gc.reshape(-1), gf.reshape(-1)])
+        gd_inf = jnp.max(jnp.abs(g_all)) if g_all.size \
+            else jnp.asarray(0.0, dtype)
         # non-finite steps freeze to the PREVIOUS iterate (before any write)
         step_bad = ~(jnp.isfinite(mu_n)
                      & jnp.isfinite(jnp.sum(uc_n) if uc_n.size else jnp.asarray(0.0, dtype))
