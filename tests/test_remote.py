@@ -98,3 +98,28 @@ def test_remote_solve_problems_batch(farm):
     for (X, U, data), p in zip(ret, problems):
         X_l, U_l, _ = pmpc_tpu.solve(**p)
         np.testing.assert_allclose(U, U_l, atol=1e-4)
+
+
+def test_remote_riccati_state_round_trips(farm):
+    """The riccati path's solver_state holds DEVICE arrays (round-5: the
+    warm tuple stays on device to avoid per-iteration pulls) — it must still
+    cloudpickle through the farm's wire format and warm-start a follow-up
+    remote solve."""
+    from pmpc_tpu import remote
+
+    p = _problem()
+    p["solver_settings"] = dict(method="riccati")
+    p["u_l"] = -np.ones((8, 1))
+    p["u_u"] = np.ones((8, 1))
+    ret = remote.call("solve", "localhost", PORT, True, **p)
+    assert not isinstance(ret, Exception), ret
+    X, U, data = ret
+    assert X is not None and np.isfinite(U).all()
+    ss = data["solver_data"][-1]["solver_state"]
+    assert ss and "riccati_warm" in ss
+    p2 = dict(p)
+    p2["solver_settings"] = dict(method="riccati", solver_state=ss)
+    ret2 = remote.call("solve", "localhost", PORT, True, **p2)
+    assert not isinstance(ret2, Exception), ret2
+    X2, U2, d2 = ret2
+    assert X2 is not None and np.isfinite(U2).all()
