@@ -122,6 +122,11 @@ def _solve_problems_fused(problems, split):
     cone_features = [k for k in ("smooth_cstr", "smooth_alpha", "extra_cstrs",
                                  "k", "Hf", "weights")
                      if ss.get(k) is not None]
+    if ss.get("u_soc_r") is not None and not _homogeneous(problems):
+        # per-problem-varying cone radii cannot ride the single stacked
+        # fused program (identical-settings contract); the cone batcher
+        # stacks u_soc_r per problem
+        cone_features.append("u_soc_r")
     if cone_features:
         # cone-program features cannot ride the structured box-IPM loop:
         # route to the scenario-batched cone driver (one vmapped condensed
@@ -237,7 +242,9 @@ def solve_problems(
         ss0 = dict(problems[0].get("solver_settings") or {})
         if any(ss0.get(k) is not None for k in
                ("smooth_cstr", "smooth_alpha", "extra_cstrs", "k", "Hf",
-                "weights")):
+                "weights")) \
+                or (ss0.get("u_soc_r") is not None
+                    and not _homogeneous(problems)):
             # cone-featured problems: their own batcher (multi-particle and
             # consensus Nc allowed there; extras may differ numerically, so
             # only require matching SHAPES/settings-keys — the cone driver

@@ -64,3 +64,45 @@ def test_batched_linear_extras_usoc_structured_route():
     i = 1
     Xs, Us, ds = pmpc_tpu.solve(**{k: v for k, v in probs[i].items()})
     np.testing.assert_allclose(out[i][1], Us, atol=2e-4)
+
+
+import pytest
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("seed", range(900, 906))
+def test_fuzz_batched_struct_matches_serial(seed):
+    """Nightly fuzz: random mixes of boxes / per-stage control cones /
+    linear extras / weights across a batch must match each problem's serial
+    solve (the batched structured route shares no code with the serial
+    dispatch above the IPM)."""
+    rng = np.random.default_rng(seed)
+    M, N, xdim, udim = 3, 8, 4, 2
+    B = 3
+    use_soc = bool(rng.integers(2))
+    use_lin = bool(rng.integers(2)) or not use_soc
+    use_w = bool(rng.integers(2))
+    probs = []
+    for b in range(B):
+        ss = dict(Nc=3)
+        if use_soc:
+            ss["u_soc_r"] = np.full((M, N), 0.6 + 0.3 * rng.random())
+        if use_w:
+            ss["weights"] = 1.0 + rng.uniform(0, 2, size=M)
+        p = dict(_mk_problem(int(rng.integers(1e6)), M=M, N=N),
+                 solver_settings=ss)
+        if use_lin:
+            nu_total = 3 * udim + M * (N - 3) * udim
+            n_full = nu_total + M * N * xdim
+            g = np.zeros((1, n_full))
+            g[0, :udim] = 1.0
+            p["solver_settings"]["extra_cstrs"] = [
+                (1, [], 0, g, np.zeros((1, 0)),
+                 np.array([0.1 + 0.2 * rng.random()]),
+                 np.zeros(n_full), np.zeros(0))]
+        probs.append(p)
+    out = solve_problems(probs, fused=True)
+    i = int(rng.integers(B))
+    Xs, Us, ds = pmpc_tpu.solve(**{k: v for k, v in probs[i].items()})
+    assert out[i][2]["converged"], out[i][2]
+    np.testing.assert_allclose(out[i][1], Us, atol=5e-4)
