@@ -180,8 +180,13 @@ def ipm_core(
     if tau is None:
         # 0.99 validated in f32 too: TPU probe |U32-U64|_inf = 4.6e-4 on the
         # flagship bounded config (benchmarks/accuracy_probe.py), and ~25%
-        # fewer IPM iterations than 0.95
-        tau = 0.99
+        # fewer IPM iterations than 0.95. With SOC cones the aggressive
+        # fraction-to-boundary can park an iterate against a cone wall where
+        # the NT scaling degenerates and all later steps collapse (fuzz seed
+        # 1101: mu frozen at 0.35 for 400 iterations at 0.99; 11 iterations
+        # to 1e-9 at 0.9) — cone problems default to 0.95, the same margin
+        # the dense cone IPM uses in f32 (coneipm.py).
+        tau = 0.95 if has_soc else 0.99
     tau = jnp.asarray(tau, dtype=dtype)
     mnf, mnx = M * nf, M * NX
     # state-bound rows exist in the flat layout ONLY when state bounds are
@@ -688,7 +693,16 @@ def ipm_core(
             viol_n = jnp.max(
                 rmaskf * (jnp.linalg.norm(cvn[:, 1:], axis=-1) - cvn[:, 0]))
             now_done = now_done & (viol_n < jnp.sqrt(tol))
-            now_bad = now_bad | cone_escaped
+            # wall-hug stall: the tau=0.99 fraction-to-boundary can park an
+            # iterate against a cone wall where the NT scaling degenerates
+            # and EVERY later step collapses (fuzz seed 1101: mu frozen at
+            # 0.35 for 400 iterations; tau=0.9 solves it in 11). Treat a
+            # collapsed step far from the target as a breakdown so the
+            # interior-restoration retry (shift_soc below) re-centers the
+            # cone points — the designed rescue for exactly this geometry.
+            stalled = (ap < 1e-2) & ~now_done \
+                & (mu_n > jnp.maximum(100.0 * tol, 2.0 * mu_target))
+            now_bad = now_bad | cone_escaped | stalled
         if has_soc:
             badc_n = jnp.where(now_bad, badc + 1, 0)
             give_up = badc_n >= 4  # repeated breakdowns: stop at best iterate
